@@ -1,0 +1,12 @@
+"""Shared launcher: put the repo on sys.path and dispatch to a CLI module."""
+import os
+import sys
+
+
+def launch(tool):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import importlib
+    mod = importlib.import_module(f"modimizer_tpu.cli.{tool}")
+    mod.main()
