@@ -1,9 +1,11 @@
 """Shared launcher: put the repo on sys.path and dispatch to a CLI module."""
 import os
+import signal
 import sys
 
 
 def launch(tool):
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)  # die silently like C tools
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
         sys.path.insert(0, repo)

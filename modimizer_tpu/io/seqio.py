@@ -40,8 +40,9 @@ def _table(mapping, default=-2):
     return t
 
 
-dna2textConv = _table([("Aa", "A"), ("Cc", "C"), ("Gg", "G"), ("Tt", "T"),
-                       ("Nn", "N")])
+dna2textConv = _table([("A", "A"), ("C", "C"), ("G", "G"), ("T", "T"),
+                       ("N", "N"), ("a", "a"), ("c", "c"), ("g", "g"),
+                       ("t", "t"), ("n", "n")])  # case-preserving (seqio.c:610)
 dna2textAmbigConv = _table(
     [("Aa", "A"), ("Bb", "B"), ("Cc", "C"), ("Dd", "D"), ("Gg", "G"),
      ("Hh", "H"), ("Kk", "K"), ("Mm", "M"), ("Nn", "N"), ("Rr", "R"),

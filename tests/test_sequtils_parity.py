@@ -1,0 +1,113 @@
+"""Golden parity for composition / seqconvert / seqhoco."""
+
+import io
+import sys
+
+import pytest
+
+from tests.golden import harness
+from tests.util import random_fasta, random_fastq, strip_timing
+
+pytestmark = pytest.mark.skipif(not harness.reference_available(),
+                                reason="reference not mounted")
+
+
+def run_cli(tool, args, stdout_bytes=False):
+    import importlib
+    mod = importlib.import_module(f"modimizer_tpu.cli.{tool}")
+    out = io.BytesIO()
+    err = io.StringIO()
+    old = sys.stdout, sys.stderr
+
+    class W:
+        def __init__(self, b):
+            self.buffer = b
+        def write(self, s):
+            self.buffer.write(s.encode() if isinstance(s, str) else s)
+        def flush(self):
+            pass
+
+    code = 0
+    try:
+        sys.stdout, sys.stderr = W(out), err
+        mod.main([str(a) for a in args])
+    except SystemExit as e:
+        code = e.code or 0
+    finally:
+        sys.stdout, sys.stderr = old
+    return code, out.getvalue(), err.getvalue()
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sequtils")
+    random_fasta(d / "r.fa", 40, 350, seed=5, genome_len=4000)
+    random_fastq(d / "r.fq", 25, 150, seed=6)
+    # a fasta with homopolymer runs and mixed case
+    with open(d / "homo.fa", "w") as f:
+        f.write(">h1 some desc\nAAAACCCgggTTTTAcgtACGT\n>h2\nGGGGGGGGGGAAAAA\n")
+    return d
+
+
+def test_composition_fasta(data):
+    r = harness.run_tool("composition", ["-b", "-l", data / "r.fa"])
+    code, out, err = run_cli("composition", ["-b", "-l", data / "r.fa"])
+    assert code == 0
+    assert r.stdout.decode() == out.decode()
+
+
+def test_composition_fastq_quals(data):
+    r = harness.run_tool("composition", ["-b", "-q", data / "r.fq"])
+    code, out, err = run_cli("composition", ["-b", "-q", data / "r.fq"])
+    assert code == 0
+    assert r.stdout.decode() == out.decode()
+
+
+def test_seqconvert_fa_to_fq_to_fa(data):
+    d = data
+    r = harness.run_tool("seqconvert", ["-S", "-fq", "-o", d / "c.fq", d / "r.fa"])
+    code, out, err = run_cli("seqconvert", ["-fq", "-o", d / "py.fq", d / "r.fa"])
+    assert code == 0
+    assert (d / "c.fq").read_bytes() == (d / "py.fq").read_bytes()
+    r = harness.run_tool("seqconvert", ["-S", "-fa", "-o", d / "c.fa", d / "r.fq"])
+    code, out, err = run_cli("seqconvert", ["-fa", "-o", d / "py.fa", d / "r.fq"])
+    assert (d / "c.fa").read_bytes() == (d / "py.fa").read_bytes()
+
+
+def test_seqconvert_binary_write(data):
+    d = data
+    r = harness.run_tool("seqconvert", ["-S", "-b", "-o", d / "c.bin", d / "r.fa"])
+    code, out, err = run_cli("seqconvert", ["-b", "-o", d / "py.bin", d / "r.fa"])
+    assert code == 0
+    assert (d / "c.bin").read_bytes() == (d / "py.bin").read_bytes()
+    # our reader must roundtrip our/reference binary back to fasta
+    code, out, err = run_cli("seqconvert", ["-fa", "-o", d / "rt.fa", d / "py.bin"])
+    assert code == 0
+    # ids survive; sequence is uppercased text of the original
+    orig = (d / "r.fa").read_text()
+    assert (d / "rt.fa").read_text() == orig
+
+
+def test_seqconvert_binary_quals(data):
+    d = data
+    r = harness.run_tool("seqconvert", ["-S", "-b", "-Q", "20", "-o", d / "cq.bin",
+                                        data / "r.fq"])
+    code, out, err = run_cli("seqconvert", ["-b", "-Q", "20", "-o", d / "pyq.bin",
+                                            data / "r.fq"])
+    assert code == 0
+    assert (d / "cq.bin").read_bytes() == (d / "pyq.bin").read_bytes()
+
+
+def test_seqhoco(data):
+    """The reference appends one layout-dependent garbage byte per sequence
+    (reads past the seq end, seqhoco.c:30); compare with those stripped."""
+    import gzip
+    r = harness.run_tool("seqhoco", [data / "homo.fa"])
+    code, out, err = run_cli("seqhoco", [data / "homo.fa"])
+    assert code == 0
+    ref_lines = gzip.decompress(r.stdout).split(b"\n")
+    ref_clean = b"\n".join(
+        (ln[:-1] if not ln.startswith(b">") and ln else ln) for ln in ref_lines)
+    ours = gzip.decompress(out)
+    assert ours == ref_clean
+    assert ours.decode() == ">h1\nACgTAcgtACGT\n>h2\nGA\n"
