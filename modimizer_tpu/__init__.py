@@ -16,10 +16,30 @@ The CLI programs (cli/) mirror the reference's ordered-command surface
 (modutils, modmap, modasm, composition, seqconvert, seqhoco, modrep, modtype).
 """
 
+import os
+
+# This container's (virtualized) host CPU executes some AVX512 code paths
+# pathologically slowly; disable them for numpy when we're imported before
+# numpy is.  Harmless elsewhere.
+os.environ.setdefault(
+    "NPY_DISABLE_CPU_FEATURES",
+    "AVX512F AVX512CD AVX512_SKX AVX512_CLX AVX512_CNL AVX512_ICL")
+
 import jax
 
 # The seqhash math is 64-bit (kmer * factor1 mod 2^64; reference seqhash.h:58).
 # TPU emulates u64 on the VPU; enable x64 before any tracing happens.
 jax.config.update("jax_enable_x64", True)
+
+# CLI invocations are separate processes: persist compiled kernels so only
+# the first run pays the (tunnel-amplified) XLA compile cost.
+_cache_dir = os.environ.get("MODIMIZER_XLA_CACHE",
+                            os.path.expanduser("~/.cache/modimizer_tpu_xla"))
+try:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 __version__ = "0.1.0"

@@ -5,6 +5,7 @@ scan runs on the TPU device path (ops/seqhash.py) with exact-replay table
 construction, so outputs are byte/record-identical while hashing is batched.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -13,7 +14,7 @@ from ..core.modset import Modset
 from ..core.seqhash import Seqhash
 from ..io import seqio
 from ..io.fzio import read_maybe_gz
-from ..ops.seqhash import ModimizerScanner, first_encounter_unique
+from ..ops.seqhash import ModimizerScanner
 from ..utils.timers import Timer
 from .common import Args, OutFile, die, finish
 
@@ -50,38 +51,51 @@ def usage():
     e("XY.depths will have columns: hash, depth_in_XY2, depth_inX, depth_in_Y\n")
 
 
+DEVICE_COUNT_THRESHOLD = 1 << 25  # streams >= 32 Mbase count on device
+
+
 def add_sequence_file(ms: Modset, scanner: ModimizerScanner, filename,
                       out, is10x=False) -> bool:
-    """modutils addSequenceFile (modutils.c:33-51): TPU scan + replay insert."""
+    """modutils addSequenceFile (modutils.c:33-51).
+
+    Small inputs: device/host scan + exact replay insert of the raw k-mer
+    stream.  Large inputs: fully device-resident sharded count (sorted
+    segment-reduce per chunk, first-encounter position min-reduced), then one
+    exact replay insert — bit-identical results either way."""
     try:
         batch, _t = seqio.read_seq_file(filename, seqio.dna2index_n0(),
                                         is_qual=False, want_ids=False)
     except (IOError, ValueError, FileNotFoundError):
         return False
     offsets = np.asarray(batch.offsets, np.int64)
+    codes = batch.codes
+    tot_len = len(codes)
     if is10x:
         # odd records (1-based) skip a 23bp barcode (modutils.c:44)
-        starts = offsets[:-1].copy()
-        skip = np.arange(batch.n) % 2 == 0  # read i is record i+1
-        starts[skip] = np.minimum(starts[skip] + 23, offsets[1:][skip])
-        new_offsets = np.empty(batch.n * 2, np.int64)
-        # build sub-ranges; simplest exact approach: rebuild codes stream
         parts, lens = [], []
         for i in range(batch.n):
-            s = batch.codes[starts[i]:offsets[i + 1]]
+            s0 = offsets[i] + (23 if i % 2 == 0 else 0)
+            s = codes[min(s0, offsets[i + 1]):offsets[i + 1]]
             parts.append(s)
             lens.append(len(s))
         codes = np.concatenate(parts) if parts else np.zeros(0, np.int8)
-        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-        kmers, _gpos, _isF = scanner.scan_stream(codes, offs)
-        tot_len = int(offsets[-1])
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    import jax
+    if (len(codes) >= DEVICE_COUNT_THRESHOLD
+            and not os.environ.get("MODIMIZER_NO_DEVICE_COUNT")):
+        from ..parallel.sharded import ShardedModsetBuilder, build_mesh
+        builder = ShardedModsetBuilder(ms.hasher, build_mesh())
+        builder.feed_stream(codes, offsets)
+        uniq, counts = builder.finalize()
+        n_hash = builder.total_emitted
+        ms.add_batch(uniq, counts)
     else:
-        kmers, _gpos, _isF = scanner.scan_stream(batch.codes, offsets)
-        tot_len = len(batch.codes)
-    uniq, counts = first_encounter_unique(kmers)
-    ms.add_batch(uniq, counts)
+        kmers, _gpos, _isF = scanner.scan_stream(codes, offsets)
+        n_hash = len(kmers)
+        ms.add_batch(kmers, None)  # exact replay of per-occurrence inserts
     out.write("added %d sequences total length %d total hashes %d, new max %d\n"
-              % (batch.n, tot_len, len(kmers), ms.max))
+              % (batch.n, tot_len, n_hash, ms.max))
     return True
 
 

@@ -60,15 +60,18 @@ class Modset:
                 kmers, len(kmers), out)
         return out
 
-    def add_batch(self, kmers: np.ndarray, counts: np.ndarray = None) -> None:
+    def add_batch(self, kmers: np.ndarray, counts: np.ndarray = None,
+                  return_indices: bool = False):
         """Replay insertions in stream order with saturating depth add.
 
         ``kmers`` must be in first-encounter stream order for id parity
         (modset.c:56-59: index = ++max).  counts=None means 1 each.
+        With return_indices=True also returns the table index per kmer.
         """
         kmers = np.ascontiguousarray(kmers, np.uint64)
+        out_idx = np.empty(len(kmers), np.uint32) if return_indices else None
         if len(kmers) == 0:
-            return
+            return out_idx if return_indices else None
         if counts is None:
             counts_ptr = None
         else:
@@ -77,11 +80,13 @@ class Modset:
         new_max = native_lib().ms_insert_batch(
             self.index, self.value, self.depth, self.info,
             self.table_bits, self.hasher.factor1, self.hasher.shift1,
-            self.max, self.size, kmers, counts_ptr, len(kmers), None)
+            self.max, self.size, kmers, counts_ptr, len(kmers),
+            out_idx.ctypes.data if return_indices else None)
         if new_max < 0:
             raise RuntimeError(
                 f"hashTableSize {self.size} is too small")
         self.max = int(new_max)
+        return out_idx if return_indices else None
 
     # ---------------- whole-set operations ----------------
 

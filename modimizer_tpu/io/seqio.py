@@ -142,30 +142,43 @@ def _parse_fasta(data: bytes, convert: np.ndarray, want_ids: bool):
     # record starts: '>' at position 0 or after newline
     gt = buf == ord(">")
     starts = np.flatnonzero(gt & np.concatenate(([True], nl[:-1])))
-    # header line end for each record
-    nl_pos = np.flatnonzero(nl)
+    # header line end for each record (virtual newline at EOF)
+    nl_pos = np.concatenate([np.flatnonzero(nl), [len(buf)]])
     hdr_end = nl_pos[np.searchsorted(nl_pos, starts)]
+    hdr_end = np.minimum(hdr_end, len(buf) - 1)
     # sequence region = (hdr_end, next start); mask header bytes out
     region_end = np.empty(len(starts), np.int64)
     region_end[:-1] = starts[1:]
     region_end[-1] = len(buf)
 
-    mask = np.ones(len(buf), bool)
-    # blank out header lines (start..hdr_end inclusive)
-    d = np.zeros(len(buf) + 1, np.int8)
-    np.add.at(d, starts, 1)
-    np.add.at(d, hdr_end + 1, -1)
-    in_hdr = np.cumsum(d[:-1]).astype(bool)
-    mask &= ~in_hdr
-
     conv = _full256(convert)
     converted = conv[buf]
-    keep = mask & (converted >= 0)
+    # blank out header lines (start..hdr_end inclusive) directly: header
+    # bytes are a tiny fraction, so build their index list instead of a
+    # whole-file cumsum mask (int8/bool cumsums are pathologically slow on
+    # this host)
+    hlen = (hdr_end - starts + 1).astype(np.int64)
+    htot = int(hlen.sum())
+    hbase = np.repeat(starts, hlen)
+    hoff = np.arange(htot, dtype=np.int64) - np.repeat(
+        np.cumsum(hlen) - hlen, hlen)
+    converted[hbase + hoff] = -2
+
+    keep = converted >= 0
     codes = converted[keep].astype(np.int8)
 
     # per-record lengths: count kept bytes in [hdr_end+1, region_end)
-    kept_cum = np.concatenate(([0], np.cumsum(keep)))
-    lens = kept_cum[region_end] - kept_cum[hdr_end + 1]
+    bnds = np.empty(2 * len(starts), np.int64)
+    bnds[0::2] = hdr_end + 1
+    bnds[1::2] = region_end
+    # reduceat quirk: for empty [b, b) segments it returns keep64[b]; those
+    # are sequences of length 0 whose count we then zero explicitly.  A
+    # sentinel 0 is appended so an end boundary of len(buf) is valid.
+    keep64 = np.concatenate([keep.astype(np.int64), [0]])
+    sums = np.add.reduceat(keep64, bnds)[0::2]
+    empty = bnds[0::2] >= bnds[1::2]
+    sums[empty] = 0
+    lens = sums
     offsets = np.concatenate(([0], np.cumsum(lens)))
 
     ids, descs = [], []
@@ -204,11 +217,10 @@ def _parse_fastq(data: bytes, convert: np.ndarray, is_qual: bool,
     offsets = np.concatenate(([0], np.cumsum(lens)))
     total = int(offsets[-1])
 
-    take = np.zeros(len(buf), bool)
-    d = np.zeros(len(buf) + 1, np.int8)
+    d = np.zeros(len(buf) + 1, np.int64)
     np.add.at(d, seq_s, 1)
     np.add.at(d, seq_e, -1)
-    take = np.cumsum(d[:-1]).astype(bool)
+    take = np.cumsum(d[:-1]) > 0
     raw = buf[take]
     if convert is not None:
         codes = _full256(convert)[raw].astype(np.int8)
@@ -220,10 +232,10 @@ def _parse_fastq(data: bytes, convert: np.ndarray, is_qual: bool,
         q_s, q_e = ls[:, 3], le[:, 3]
         if not np.array_equal(q_e - q_s, lens):
             raise ValueError("qual not same length as seq")
-        dq = np.zeros(len(buf) + 1, np.int8)
+        dq = np.zeros(len(buf) + 1, np.int64)
         np.add.at(dq, q_s, 1)
         np.add.at(dq, q_e, -1)
-        takeq = np.cumsum(dq[:-1]).astype(bool)
+        takeq = np.cumsum(dq[:-1]) > 0
         quals = (buf[takeq] - 33).astype(np.int8)
 
     ids, descs = [], []

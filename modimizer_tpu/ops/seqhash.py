@@ -1,21 +1,24 @@
 """Device (TPU) modimizer scan: the framework's flagship compute kernel.
 
 Re-design of the reference's sequential rolling iterator (seqhash.c:154-196)
-as a position-parallel XLA computation:
+as a position-parallel XLA computation, shaped by v5e microbenchmarks:
 
-- Reads are ingested as one flat base-code stream plus offsets (SeqBatch);
-  k-mers never cross read boundaries, enforced by a validity mask — no
-  per-read padding, no dynamic shapes.
-- The stream is processed in fixed-size chunks with a (k-1)-base halo so
-  every position is computed exactly once (the basis for sequence/context
-  parallelism across chips as well: SURVEY.md section 2.3).
-- For each position p: forward kmer h (2k bits), reverse-complement kmer hRC,
-  multiplicative hashes (u64, emulated on the 32-bit VPU), canonical
-  min-direction, and the ``hash % w == 0`` modimizer filter.
-- Matches are compacted on device (cumsum + scatter) so only ~N/w values
-  cross the PCIe link.
+- Only the 2-bit-packed forward stream crosses the host->device link
+  (0.25 B/base); the reverse-complement stream is derived on device
+  (ops/packed.py) and each k-mer is extracted with an O(1) two-word funnel
+  shift, 32 constant-shift phases, no gathers.
+- Hashes follow seqhash.h:58 exactly: (kmer * factor1 mod 2^64) >> (64-2k),
+  canonical = min(forward, reverse-complement) with direction flag.
+- Matches (canonical hash % w == 0) are compacted ON DEVICE in two stages:
+  blockwise top_k (27x faster than scatter on v5e), then a device sort by
+  stream position squeezing the block layout into one dense match list — so
+  device->host traffic is proportional to matches (~1/w of positions), not
+  positions.
+- Read-boundary validity is filtered on the host afterwards (it only has to
+  touch the match list).
 
-All math matches seqhash.h:58 / seqhash.c:60-79 bit-for-bit.
+The host assembles exact stream-order (kmers, positions, isF) — identical to
+the reference iterator's emission order.
 """
 
 import functools
@@ -25,51 +28,69 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.seqhash import Seqhash
+from .packed import canonical_hashes, derive_tw, extract_kmers, pack_sw
 
-DEFAULT_CHUNK = 1 << 22  # 4 Mbase per device dispatch
+DEFAULT_CHUNK = 1 << 25  # 32 Mbase per device dispatch
+BLOCK = 4096             # positions per compaction block
+
+U64 = np.uint64
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _scan_chunk(codes, valid, start_gpos, k, w, factor1, cap):
-    """One chunk: codes [C+k-1] u8, valid [C] bool -> compacted matches.
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "n_blocks", "bo",
+                                    "cap"))
+def _scan_chunk(sw, m, *, k, w, factor1, n_blocks, bo, cap):
+    """Packed-stream scan of C = n_blocks*BLOCK positions.
 
-    Returns (kmers u64[cap], gpos i64[cap], isF bool[cap], count i32).
+    sw: u64 [C/32 + 1] (halo word).  m: i32 scalar live-position count.
+    Returns (kmers u64 [cap], meta u64 [cap] = (gpos << 1) | isF, total i32).
+    Matches beyond cap are dropped (total reports the true count so the
+    caller can fall back); per-block overflow beyond ``bo`` is detected the
+    same way since counts are summed from the un-truncated emit mask.
     """
-    C = codes.shape[0] - (k - 1)
-    c = codes.astype(jnp.uint64)
-    h = jnp.zeros(C, jnp.uint64)
-    hrc = jnp.zeros(C, jnp.uint64)
-    for j in range(k):
-        cj = jax.lax.dynamic_slice(c, (j,), (C,))
-        h = (h << jnp.uint64(2)) | cj
-        hrc = hrc | ((jnp.uint64(3) - cj) << jnp.uint64(2 * j))
-    f1 = jnp.uint64(factor1)
-    shift1 = jnp.uint64(64 - 2 * k)
-    hf = (h * f1) >> shift1
-    hr = (hrc * f1) >> shift1
-    isF = hf < hr
-    hashes = jnp.where(isF, hf, hr)
-    kmers = jnp.where(isF, h, hrc)
-    emit = valid & (hashes % jnp.uint64(w) == jnp.uint64(0))
+    C = n_blocks * BLOCK
+    tw = derive_tw(sw)
+    h, hrc = extract_kmers(sw, tw, k, C)
+    hashes, kmers, isF = canonical_hashes(h, hrc, k, factor1)
+    emit = (hashes % jnp.uint64(w)) == jnp.uint64(0)
 
-    idx = jnp.cumsum(emit.astype(jnp.int32)) - 1
-    count = idx[-1] + 1
-    slot = jnp.where(emit, idx, cap)  # out-of-range -> dropped
-    out_k = jnp.zeros(cap, jnp.uint64).at[slot].set(kmers, mode="drop")
-    gpos = start_gpos + jnp.arange(C, dtype=jnp.int64)
-    out_p = jnp.zeros(cap, jnp.int64).at[slot].set(gpos, mode="drop")
-    out_f = jnp.zeros(cap, jnp.bool_).at[slot].set(isF, mode="drop")
-    return out_k, out_p, out_f, count
+    # stage 1: blockwise top_k compaction
+    e2 = emit.reshape(n_blocks, BLOCK)
+    pos_in_block = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 1)
+    gpos = (jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 0) *
+            BLOCK + pos_in_block)
+    live = gpos < m
+    e2 &= live
+    key = jnp.where(e2, jnp.int32(BLOCK) - pos_in_block, jnp.int32(-1))
+    vals, idx = jax.lax.top_k(key, bo)             # ascending position order
+    kk = jnp.take_along_axis(kmers.reshape(n_blocks, BLOCK), idx, axis=1)
+    ff = jnp.take_along_axis(isF.reshape(n_blocks, BLOCK), idx, axis=1)
+    bpos = (jax.lax.broadcasted_iota(jnp.int32, (n_blocks, bo), 0) * BLOCK
+            + idx)
+    real = vals > 0                                 # emitted slots
+
+    # stage 2: squeeze to a dense [cap] list by sorting on position
+    sort_key = jnp.where(real, bpos, jnp.int32(2 ** 31 - 1)).reshape(-1)
+    meta = ((jnp.uint64(2) * bpos.reshape(-1).astype(jnp.uint64))
+            | ff.reshape(-1).astype(jnp.uint64))
+    skey, km_s, meta_s = jax.lax.sort(
+        (sort_key, kk.reshape(-1), meta), num_keys=1)
+    total = jnp.sum(e2).astype(jnp.int32)
+    # any per-block overflow (count > bo) lost matches in stage 1: force the
+    # caller's host-rescan fallback by reporting an impossible total
+    blk_over = jnp.any(jnp.sum(e2, axis=1) > bo)
+    total = jnp.where(blk_over, jnp.int32(2 ** 31 - 1), total)
+    return km_s[:cap], meta_s[:cap], total
 
 
 def _validity(offsets: np.ndarray, n: int, k: int) -> np.ndarray:
-    """valid[p] = True iff the k-mer starting at stream position p lies fully
-    inside one read.  Computed from the ragged offsets with a diff trick."""
+    """Dense mask: valid[p] = True iff the k-mer starting at stream position p
+    lies fully inside one read (used by the sharded device path, which masks
+    on device rather than filtering matches on host)."""
     valid = np.ones(n, bool)
-    ends = offsets[1:]          # end of each read (exclusive)
-    # positions end-k+1 .. end-1 start a kmer that crosses/overruns the read
+    ends = offsets[1:]
     lo = np.maximum(ends - (k - 1), offsets[:-1])
-    d = np.zeros(n + 1, np.int32)
+    d = np.zeros(n + 1, np.int64)
     np.add.at(d, lo, 1)
     np.add.at(d, np.minimum(ends, n), -1)
     bad = np.cumsum(d[:-1]) > 0
@@ -77,62 +98,125 @@ def _validity(offsets: np.ndarray, n: int, k: int) -> np.ndarray:
     return valid
 
 
-class ModimizerScanner:
-    """Streams a SeqBatch's code stream through the device scan.
+def _validity_filter(gpos: np.ndarray, offsets: np.ndarray, k: int):
+    """Keep emitted positions whose k-mer lies inside one read."""
+    rid = np.searchsorted(offsets, gpos, side="right") - 1
+    ok = (rid >= 0) & (gpos + k <= offsets[np.minimum(rid + 1,
+                                                      len(offsets) - 1)])
+    ok &= rid < len(offsets) - 1
+    return ok, rid
 
-    Produces (kmers, global_positions, isF) numpy arrays in exact stream
-    order — the same order the reference's per-read iterator emits.
-    """
+
+class ModimizerScanner:
+    """Streams a flat base-code stream through the device scan.
+
+    Produces (kmers, global positions, isF) in exact stream order — the
+    same order the reference's per-read iterator emits."""
+
+    HOST_THRESHOLD = 1 << 21  # below this, a host scan beats device latency
 
     def __init__(self, sh: Seqhash, chunk: int = DEFAULT_CHUNK,
-                 safety: float = 8.0):
+                 want_isf: bool = True, host_threshold: int = None):
         self.sh = sh
+        chunk = max(BLOCK, (chunk // BLOCK) * BLOCK)
         self.chunk = chunk
-        # expected matches per chunk = chunk/w; cap with generous headroom
-        self.cap = int(min(chunk, max(1024, safety * chunk / sh.w)))
+        self.n_blocks = chunk // BLOCK
+        mean = BLOCK / sh.w
+        self.bo = int(min(BLOCK, max(128, 4 * mean)))
+        self.cap = int(min(chunk, max(4096, 2 * chunk // sh.w)))
+        self.want_isf = want_isf
+        self.max_inflight = 4
+        self.host_threshold = (self.HOST_THRESHOLD if host_threshold is None
+                               else host_threshold)
+
+    def _dispatch(self, codes: np.ndarray, s: int, m: int):
+        k = self.sh.k
+        C = self.chunk
+        NW = C // 32
+        seg = codes[s:s + C + k - 1]
+        sw = pack_sw(seg, NW + 1)
+        return _scan_chunk(
+            jnp.asarray(sw), jnp.int32(m),
+            k=k, w=self.sh.w, factor1=self.sh.factor1,
+            n_blocks=self.n_blocks, bo=self.bo, cap=self.cap)
 
     def scan_stream(self, codes: np.ndarray, offsets: np.ndarray):
-        """codes: uint8/int8 [N] (values 0..3), offsets: int64 [n+1]."""
+        """codes: uint8/int8 [N] (values 0..3), offsets: int64 [n_reads+1]."""
         sh = self.sh
-        k, w = sh.k, sh.w
+        k = sh.k
         n = len(codes)
         codes = np.ascontiguousarray(codes).view(np.uint8)
-        valid = _validity(np.asarray(offsets, np.int64), n, k)
-        out_k, out_p, out_f = [], [], []
+        offsets = np.asarray(offsets, np.int64)
+        if n < self.host_threshold:
+            return self._scan_host(codes, offsets)
         C = self.chunk
-        pad = k - 1
+        pending = []
+        out_k, out_p, out_f = [], [], []
+
+        def drain(entry):
+            s, m, (km, meta, total) = entry
+            total = int(total)
+            if total > self.cap:
+                self._rescan_chunk(s, m, codes, offsets, out_k, out_p, out_f)
+                return
+            km = np.asarray(km[:total])
+            meta = np.asarray(meta[:total])
+            gpos = s + (meta >> 1).astype(np.int64)
+            isF = (meta & 1).astype(bool)
+            ok, _rid = _validity_filter(gpos, offsets, k)
+            out_k.append(km[ok])
+            out_p.append(gpos[ok])
+            out_f.append(isF[ok])
+
         for s in range(0, max(n, 1), C):
             m = min(C, n - s)
             if m <= 0:
                 break
-            cbuf = np.zeros(C + pad, np.uint8)
-            avail = min(C + pad, n - s)
-            cbuf[:avail] = codes[s:s + avail]
-            vbuf = np.zeros(C, bool)
-            vbuf[:m] = valid[s:s + m]
-            kk, pp, ff, cnt = _scan_chunk(
-                jnp.asarray(cbuf), jnp.asarray(vbuf), s, k, w,
-                sh.factor1, self.cap)
-            cnt = int(cnt)
-            if cnt > self.cap:
-                # overflow: redo this chunk with a bigger cap
-                kk, pp, ff, cnt = _scan_chunk(
-                    jnp.asarray(cbuf), jnp.asarray(vbuf), s, k, w,
-                    sh.factor1, int(cnt) + 1024)
-                cnt = int(cnt)
-            out_k.append(np.asarray(kk[:cnt]))
-            out_p.append(np.asarray(pp[:cnt]))
-            out_f.append(np.asarray(ff[:cnt]))
+            pending.append((s, m, self._dispatch(codes, s, m)))
+            if len(pending) > self.max_inflight:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
+
         if not out_k:
-            return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
-                    np.zeros(0, bool))
+            z = np.zeros(0, np.uint64)
+            return z, np.zeros(0, np.int64), np.zeros(0, bool)
         return (np.concatenate(out_k), np.concatenate(out_p),
                 np.concatenate(out_f))
 
+    def _scan_host(self, codes, offsets):
+        """Whole-stream host scan (numpy oracle) for small inputs, where a
+        single device dispatch's latency would dominate."""
+        sh = self.sh
+        out_k, out_p, out_f = [], [], []
+        n = len(codes)
+        if n >= sh.k:
+            kms, hashes, isF = sh.scan(codes)
+            sel = (hashes % U64(sh.w)) == U64(0)
+            pos = np.nonzero(sel)[0].astype(np.int64)
+            ok, _ = _validity_filter(pos, offsets, sh.k)
+            return kms[sel][ok], pos[ok], isF[sel][ok]
+        return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                np.zeros(0, bool))
+
+    def _rescan_chunk(self, s, m, codes, offsets, out_k, out_p, out_f):
+        """Rare overflow (cap exceeded, e.g. low-complexity repeats): redo
+        this chunk exactly on the host oracle."""
+        sh = self.sh
+        seg = codes[s:s + m + sh.k - 1]
+        kms, hashes, isF = sh.scan(seg)
+        P = min(m, len(kms))
+        sel = (hashes[:P] % U64(sh.w)) == U64(0)
+        pos = np.nonzero(sel)[0].astype(np.int64) + s
+        ok, _ = _validity_filter(pos, offsets, sh.k)
+        out_k.append(kms[:P][sel][ok])
+        out_p.append(pos[ok])
+        out_f.append(isF[:P][sel][ok])
+
     def scan_batch(self, batch):
         """Scan a SeqBatch; returns (kmers, read_ids, read_pos, isF)."""
-        kmers, gpos, isF = self.scan_stream(batch.codes, batch.offsets)
         offsets = np.asarray(batch.offsets, np.int64)
+        kmers, gpos, isF = self.scan_stream(batch.codes, offsets)
         rid = np.searchsorted(offsets, gpos, side="right") - 1
         rpos = gpos - offsets[rid]
         return kmers, rid.astype(np.int64), rpos.astype(np.int64), isF

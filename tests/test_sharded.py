@@ -1,0 +1,62 @@
+"""Multi-chip sharded modset build == sequential build, on an 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from modimizer_tpu.core.seqhash import Seqhash
+from modimizer_tpu.ops.seqhash import ModimizerScanner, first_encounter_unique
+from modimizer_tpu.parallel.sharded import ShardedModsetBuilder, build_mesh
+
+import jax
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_sharded_build_matches_sequential():
+    rng = np.random.default_rng(21)
+    sh = Seqhash.create(16, 16, 17)
+    lens = rng.integers(50, 400, size=200)
+    seqs = [rng.integers(0, 4, size=l).astype(np.uint8) for l in lens]
+    codes = np.concatenate(seqs)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    # sequential oracle
+    sc = ModimizerScanner(sh, chunk=1 << 12)
+    kmers, _g, _f = sc.scan_stream(codes, offsets)
+    uniq, counts = first_encounter_unique(kmers)
+
+    mesh = build_mesh()
+    b = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 10, state_size=1 << 12)
+    b.feed_stream(codes, offsets)
+    ks, ds = b.finalize()
+
+    assert b.total_emitted == len(kmers)
+    assert np.array_equal(ks, uniq)
+    assert np.array_equal(ds, counts)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_sharded_build_feeds_canonical_modset(tmp_path):
+    """Sharded build -> canonical byte-exact Modset file."""
+    from modimizer_tpu.core.modset import Modset
+    rng = np.random.default_rng(5)
+    sh = Seqhash.create(16, 16, 17)
+    seqs = [rng.integers(0, 4, size=300).astype(np.uint8) for _ in range(50)]
+    codes = np.concatenate(seqs)
+    offsets = np.arange(0, 300 * 51, 300, dtype=np.int64)
+
+    mesh = build_mesh()
+    b = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 10, state_size=1 << 12)
+    b.feed_stream(codes, offsets)
+    ks, ds = b.finalize()
+    ms1 = Modset(Seqhash.create(16, 16, 17), 20)
+    ms1.add_batch(ks, ds)
+
+    sc = ModimizerScanner(sh)
+    kmers, _g, _f = sc.scan_stream(codes, offsets)
+    uniq, counts = first_encounter_unique(kmers)
+    ms2 = Modset(Seqhash.create(16, 16, 17), 20)
+    ms2.add_batch(uniq, counts)
+
+    ms1.write(tmp_path / "a.mod")
+    ms2.write(tmp_path / "b.mod")
+    assert (tmp_path / "a.mod").read_bytes() == (tmp_path / "b.mod").read_bytes()
