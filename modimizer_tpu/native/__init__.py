@@ -14,20 +14,60 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
+_SOURCES = ["modset_native.cpp", "modasm_native.cpp"]
+
+
 def _build() -> Path:
-    src = _HERE / "modset_native.cpp"
-    stamp = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    srcs = [_HERE / s for s in _SOURCES]
+    h = hashlib.sha256()
+    for s in srcs:
+        h.update(s.read_bytes())
+    stamp = h.hexdigest()[:16]
     build_dir = _HERE / "_build"
     build_dir.mkdir(exist_ok=True)
-    so = build_dir / f"modset_native-{stamp}.so"
+    so = build_dir / f"modimizer_native-{stamp}.so"
     if not so.exists():
         tmp = so.with_suffix(f".tmp{os.getpid()}.so")
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", str(tmp), str(src)],
+             "-o", str(tmp)] + [str(s) for s in srcs],
             check=True, capture_output=True)
         os.replace(tmp, so)
     return so
+
+
+class RSView(ctypes.Structure):
+    """Mirror of modasm_native.cpp's RSView (flat CSR readset view)."""
+    _fields_ = [
+        ("rlen", ctypes.POINTER(ctypes.c_int32)),
+        ("nHit", ctypes.POINTER(ctypes.c_int32)),
+        ("nMiss", ctypes.POINTER(ctypes.c_int32)),
+        ("bad", ctypes.POINTER(ctypes.c_uint8)),
+        ("oflags", ctypes.POINTER(ctypes.c_uint8)),
+        ("contained", ctypes.POINTER(ctypes.c_int32)),
+        ("nCopy", ctypes.POINTER(ctypes.c_int32)),
+        ("hitOff", ctypes.POINTER(ctypes.c_int64)),
+        ("hits", ctypes.POINTER(ctypes.c_uint32)),
+        ("dx", ctypes.POINTER(ctypes.c_uint16)),
+        ("depth", ctypes.POINTER(ctypes.c_uint16)),
+        ("info", ctypes.POINTER(ctypes.c_uint8)),
+        ("invOff", ctypes.POINTER(ctypes.c_int64)),
+        ("invReads", ctypes.POINTER(ctypes.c_uint32)),
+        ("miFlags", ctypes.POINTER(ctypes.c_uint8)),
+        ("miPos", ctypes.POINTER(ctypes.c_int32)),
+        ("miGood", ctypes.POINTER(ctypes.c_int32)),
+        ("miMod2", ctypes.POINTER(ctypes.c_int32)),
+        ("miBadLD", ctypes.POINTER(ctypes.c_int32)),
+        ("miSplit", ctypes.POINTER(ctypes.c_int32)),
+        ("miSplitLD", ctypes.POINTER(ctypes.c_int32)),
+        ("nReads", ctypes.c_int64),
+        ("msMax", ctypes.c_int64),
+        ("totHit", ctypes.c_int64),
+        ("hasherW", ctypes.c_int32),
+        ("fdOut", ctypes.c_int32),
+        ("fdStdout", ctypes.c_int32),
+        ("pad_", ctypes.c_int32),
+    ]
 
 
 def lib() -> ctypes.CDLL:
@@ -60,3 +100,25 @@ def _declare(L):
     L.ms_rebuild_table.restype = c.c_int64
     L.ms_rebuild_table.argtypes = [u32p, u64p, c.c_int, c.c_uint64, c.c_int,
                                    c.c_int64]
+
+    vp = c.POINTER(RSView)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    for name, extra in [
+            ("rs_inv_build", []),
+            ("rs_find_overlaps", [c.c_int64, c.c_int]),
+            ("rs_overlaps_every", [c.c_int64]),
+            ("rs_mark_bad", []),
+            ("rs_mark_contained", []),
+            ("rs_cluster", []),
+            ("rs_clean_mods", []),
+            ("rs_test_mods", [c.c_int, c.c_int]),
+            ("rs_ref_flag", [u32p, i32p, c.c_int64]),
+            ("rs_reset_bits", [c.c_int]),
+            ("rs_read_properties", []),
+            ("rs_print_overlap", [c.c_int64, c.c_int64]),
+            ("rs_assemble_from_mod", [c.c_uint32, c.c_int, c.c_int]),
+            ("rs_assemble_from_read", [c.c_int64]),
+    ]:
+        fn = getattr(L, name)
+        fn.restype = None
+        fn.argtypes = [vp] + extra
