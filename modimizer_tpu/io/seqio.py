@@ -493,9 +493,15 @@ class SeqWriter:
                 self.type = FASTQ
             else:
                 self.type = BINARY
+        if self.type != ONE and len(name) > 5 and name[-5] == "." and \
+                name[-4] == "1":
+            self.type = ONE  # .1xxx suffix implies ONE (seqio.c:381-383)
         if self.type == ONE:
             from .onecode import OneSeqWriter
-            self._one = OneSeqWriter(self._f, qual_thresh > 0)
+            otype = "seq"
+            if len(name) > 5 and name[-5] == "." and name[-4] == "1":
+                otype = name[-3:]
+            self._one = OneSeqWriter(self._f, qual_thresh > 0, otype)
         elif self.type == BINARY:
             if self._gz:
                 raise IOError("can't write a gzipped binary file")

@@ -18,14 +18,18 @@ SHIM_H = Path(__file__).with_name("funopen_shim.h")
 
 _CORE = ["seqio.c", "seqhash.c", "modset.c", "hash.c", "dict.c", "array.c", "utils.c"]
 
+# seqio is compiled -DONEIO against the vendored ONElib (Makefile:26-29), so
+# the seq tools read/write .1seq like the released binaries; modtype links
+# ONElib directly (Makefile:65-66)
 _TOOL_SOURCES = {
-    "modutils": ["modutils.c"] + _CORE,
-    "modmap": ["modmap.c"] + _CORE,
-    "modasm": ["modasm.c"] + _CORE,
-    "modrep": ["modrep.c"] + _CORE,
-    "composition": ["composition.c"] + _CORE,
-    "seqconvert": ["seqconvert.c"] + _CORE,
-    "seqhoco": ["seqhoco.c"] + _CORE,
+    "modutils": ["modutils.c", "ONElib.c"] + _CORE,
+    "modmap": ["modmap.c", "ONElib.c"] + _CORE,
+    "modasm": ["modasm.c", "ONElib.c"] + _CORE,
+    "modrep": ["modrep.c", "ONElib.c"] + _CORE,
+    "modtype": ["modtype.c", "ONElib.c"] + _CORE,
+    "composition": ["composition.c", "ONElib.c"] + _CORE,
+    "seqconvert": ["seqconvert.c", "ONElib.c"] + _CORE,
+    "seqhoco": ["seqhoco.c", "ONElib.c"] + _CORE,
 }
 
 
@@ -56,8 +60,8 @@ def build_tool(name: str) -> Path:
         subprocess.run(["gcc", "-O2", "-w", "-c", "-o", str(shim_o), str(SHIM)],
                        check=True, capture_output=True)
     srcs = [str(REF / s) for s in _TOOL_SOURCES[name]] + [str(shim_o)]
-    cmd = (["gcc", "-O2", "-w", "-include", str(SHIM_H), "-o", str(exe)]
-           + srcs + ["-lz", "-lm"])
+    cmd = (["gcc", "-O2", "-w", "-DONEIO", "-include", str(SHIM_H),
+            "-o", str(exe)] + srcs + ["-lz", "-lm", "-lpthread"])
     subprocess.run(cmd, check=True, capture_output=True)
     return exe
 
