@@ -287,3 +287,145 @@ class ShardedModsetBuilder:
         ks, ds, ms = ks[real], ds[real], ms[real]
         order = np.argsort(ms, kind="stable")
         return ks[order], np.minimum(ds[order], 0xFFFF).astype(np.uint32)
+
+
+# ------------------------------------------------------------------
+# sharded modset merge: modutils -m / modsetMerge (modset.c:106-128)
+# distributed by hash prefix over the mesh
+# ------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_shards", "cap", "factor1",
+                                             "mesh"))
+def sharded_merge_step(kmers, depth, info, rank, src_b, *, n_shards, cap,
+                       factor1, mesh):
+    """Route (kmer, depth, info, rank, isB) by hash prefix; per shard reduce
+    with the reference's exact merge math:
+      depth: saturating U16 add (modset.c:122)
+      info:  A-only keeps full info; A+B -> (infoA & 3) | min(cA+cB, 3)
+             with flag bits cleared (modset.c:124-125); B-only -> copyB
+      rank:  min (first-encounter order of the replayed insertion stream)
+
+    Inputs are [n_shards, cap] padded with U64_SENTINEL kmers.  Returns
+    per-shard reduced arrays (still [n_shards, cap], sentinel-padded,
+    sorted by kmer) plus a per-shard overflow flag.
+    """
+
+    def step(km, dp, nf, rk, sb):
+        km, dp, nf, rk, sb = km[0], dp[0], nf[0], rk[0], sb[0]
+        n = km.shape[0]
+        # owner by low bits of the kmer itself: uniform and hash-free is fine
+        # here since routing only needs a balanced deterministic partition
+        owner = (km % jnp.uint64(n_shards)).astype(jnp.uint32)
+        key = jnp.where(km != U64_SENTINEL, owner, jnp.uint32(n_shards))
+        order = jnp.argsort(key, stable=True)
+        so = key[order]
+        group_start = jnp.searchsorted(so, jnp.arange(n_shards,
+                                                      dtype=jnp.uint32))
+        rank_in = jnp.arange(n) - group_start[jnp.minimum(so, n_shards - 1)]
+        ok = (so < n_shards) & (rank_in < cap)
+        slot = jnp.where(ok, so.astype(jnp.int32) * cap +
+                         rank_in.astype(jnp.int32), n_shards * cap)
+
+        def scatter(v, fill, dt):
+            return jnp.full(n_shards * cap, fill, dt).at[slot].set(
+                v[order], mode="drop")
+
+        send_k = scatter(km, U64_SENTINEL, jnp.uint64)
+        send_d = scatter(dp, 0, jnp.uint32)
+        send_i = scatter(nf, 0, jnp.uint32)
+        send_r = scatter(rk, POS_INF, jnp.uint64)
+        send_b = scatter(sb, 0, jnp.uint32)
+        overflow = jnp.any((so < n_shards) & (rank_in >= cap))
+
+        def a2a(x):
+            return jax.lax.all_to_all(x.reshape(n_shards, cap), "shard",
+                                      split_axis=0, concat_axis=0,
+                                      tiled=True).reshape(-1)
+
+        rk_k, rk_d, rk_i = a2a(send_k), a2a(send_d), a2a(send_i)
+        rk_r, rk_b = a2a(send_r), a2a(send_b)
+
+        # reduce per kmer: at most one A and one B contributor
+        k_s, d_s, i_s, r_s, b_s = sort_u64_with_payload(rk_k, rk_d, rk_i,
+                                                        rk_r, rk_b)
+        m = k_s.shape[0]
+        first = jnp.concatenate([jnp.array([True]), k_s[1:] != k_s[:-1]])
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        live = k_s != U64_SENTINEL
+        depth_sum = jax.ops.segment_sum(jnp.where(live, d_s, 0), seg, m)
+        depth_sum = jnp.minimum(depth_sum, jnp.uint32(0xFFFF))
+        n_contrib = jax.ops.segment_sum(live.astype(jnp.int32), seg, m)
+        info_a = jax.ops.segment_max(jnp.where(live & (b_s == 0), i_s, 0),
+                                     seg, m)
+        info_b = jax.ops.segment_max(jnp.where(live & (b_s == 1), i_s, 0),
+                                     seg, m)
+        rank_min = jax.ops.segment_min(jnp.where(live, r_s, POS_INF), seg, m)
+        has_a = jax.ops.segment_max((live & (b_s == 0)).astype(jnp.int32),
+                                    seg, m)
+        c_sum = jnp.minimum((info_a & 3) + (info_b & 3), jnp.uint32(3))
+        info_both = (info_a & jnp.uint32(3)) | c_sum
+        info_out = jnp.where(n_contrib > 1, info_both,
+                             jnp.where(has_a == 1, info_a, info_b & 3))
+
+        out_slot = jnp.where(first & live, seg, m)
+        S = n_shards * cap
+        ok2 = jnp.full(S, U64_SENTINEL, jnp.uint64).at[out_slot].set(
+            k_s, mode="drop")[:S]
+        od = jnp.zeros(S, jnp.uint32).at[out_slot].set(depth_sum[seg],
+                                                       mode="drop")[:S]
+        oi = jnp.zeros(S, jnp.uint32).at[out_slot].set(info_out[seg],
+                                                       mode="drop")[:S]
+        orr = jnp.full(S, POS_INF, jnp.uint64).at[out_slot].set(
+            rank_min[seg], mode="drop")[:S]
+        return (ok2[None], od[None], oi[None], orr[None], overflow[None])
+
+    f = shard_map(step, mesh,
+                  in_specs=(P("shard"),) * 5,
+                  out_specs=(P("shard"),) * 5)
+    return f(kmers, depth, info, rank, src_b)
+
+
+def sharded_merge(ms1, ms2, mesh: Mesh):
+    """Device-accelerated modsetMerge: returns (kmers, depth, info) in the
+    exact first-encounter order the sequential merge produces (ms1's ids,
+    then ms2's new kmers in ms2 id order).  The caller replays them into a
+    canonical Modset table.  Returns None when the hashers differ, like
+    modsetMerge (modset.c:110-111)."""
+    s1, s2 = ms1.hasher, ms2.hasher
+    if s1.w != s2.w or s1.k != s2.k or s1.factor1 != s2.factor1:
+        return None
+    n = mesh.devices.size
+    n1, n2 = ms1.max, ms2.max
+    total = n1 + n2
+    cap = max(1024, -(-total // n))  # per-shard slot budget
+    pad = n * cap - total
+
+    kmers = np.concatenate([ms1.value[1:n1 + 1], ms2.value[1:n2 + 1],
+                            np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)])
+    depth = np.concatenate([ms1.depth[1:n1 + 1], ms2.depth[1:n2 + 1],
+                            np.zeros(pad, np.uint16)]).astype(np.uint32)
+    info = np.concatenate([ms1.info[1:n1 + 1], ms2.info[1:n2 + 1],
+                           np.zeros(pad, np.uint8)]).astype(np.uint32)
+    rank = np.concatenate([np.arange(total, dtype=np.uint64),
+                           np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)])
+    src_b = np.concatenate([np.zeros(n1, np.uint32), np.ones(n2, np.uint32),
+                            np.zeros(pad, np.uint32)])
+
+    def shard2d(a):
+        return jnp.asarray(a.reshape(n, cap))
+
+    out = sharded_merge_step(shard2d(kmers), shard2d(depth), shard2d(info),
+                             shard2d(rank), shard2d(src_b),
+                             n_shards=n, cap=cap, factor1=s1.factor1,
+                             mesh=mesh)
+    ok = np.asarray(out[0]).reshape(-1)
+    od = np.asarray(out[1]).reshape(-1)
+    oi = np.asarray(out[2]).reshape(-1)
+    orr = np.asarray(out[3]).reshape(-1)
+    if bool(np.any(np.asarray(out[4]))):
+        raise RuntimeError("sharded merge shard overflow; raise cap")
+    real = ok != 0xFFFFFFFFFFFFFFFF
+    ok, od, oi, orr = ok[real], od[real], oi[real], orr[real]
+    order = np.argsort(orr, kind="stable")
+    return (ok[order], np.minimum(od[order], 0xFFFF).astype(np.uint16),
+            oi[order].astype(np.uint8))

@@ -60,3 +60,51 @@ def test_sharded_build_feeds_canonical_modset(tmp_path):
     ms1.write(tmp_path / "a.mod")
     ms2.write(tmp_path / "b.mod")
     assert (tmp_path / "a.mod").read_bytes() == (tmp_path / "b.mod").read_bytes()
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_sharded_merge_matches_native():
+    """Device merge == exact modsetMerge semantics (modset.c:106-128)."""
+    from modimizer_tpu.core.modset import Modset
+    from modimizer_tpu.parallel.sharded import sharded_merge
+    rng = np.random.default_rng(33)
+    sh = Seqhash.create(16, 16, 17)
+
+    def make_ms(seed, n_seqs):
+        r = np.random.default_rng(seed)
+        seqs = [r.integers(0, 4, size=400).astype(np.uint8)
+                for _ in range(n_seqs)]
+        codes = np.concatenate(seqs)
+        offsets = np.arange(0, 400 * (n_seqs + 1), 400, dtype=np.int64)
+        sc = ModimizerScanner(sh)
+        kmers, _g, _f = sc.scan_stream(codes, offsets)
+        uniq, counts = first_encounter_unique(kmers)
+        ms = Modset(Seqhash.create(16, 16, 17), 20)
+        ms.add_batch(uniq, counts)
+        # scatter some copy numbers + flag bits to exercise the merge math
+        ms.info[1:ms.max + 1] = rng.integers(0, 64, ms.max).astype(np.uint8)
+        return ms
+
+    # overlapping kmer content: same genome seed, different sampling
+    ms_a, ms_b = make_ms(7, 60), make_ms(7, 40)
+    ms_b2 = make_ms(99, 30)          # plus disjoint content
+    assert ms_b.merge(ms_b2)
+
+    mesh = build_mesh()
+    kd = sharded_merge(ms_a, ms_b, mesh)
+    assert kd is not None
+    ks, ds, infos = kd
+
+    # native oracle
+    assert ms_a.merge(ms_b)
+    n = ms_a.max
+    assert np.array_equal(ks, ms_a.value[1:n + 1])
+    assert np.array_equal(ds, ms_a.depth[1:n + 1])
+    assert np.array_equal(infos, ms_a.info[1:n + 1])
+
+    # replay into a canonical table: byte-identical file
+    ms_c = Modset(Seqhash.create(16, 16, 17), 20)
+    ms_c.add_batch(ks, np.zeros(len(ks), np.uint32))
+    ms_c.depth[1:ms_c.max + 1] = ds
+    ms_c.info[1:ms_c.max + 1] = infos
+    assert ms_c.to_bytes() == ms_a.to_bytes()
