@@ -42,7 +42,7 @@ def driver(tmp_path_factory):
     subprocess.run(
         ["gcc", "-O2", "-w", "-I", str(harness.REF), "-o", str(exe),
          str(src), str(harness.REF / "seqhash.c"),
-         str(harness.REF / "utils.c"), str(harness.SHIM)],
+         str(harness.REF / "utils.c"), str(harness.SHIM), "-lz", "-lm"],
         check=True, capture_output=True)
     return exe
 
