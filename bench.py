@@ -86,12 +86,12 @@ def tpu_rate(fa: Path) -> float:
     host-to-.mod pipeline is also run and logged for context."""
     import modimizer_tpu  # noqa: F401
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from modimizer_tpu.core.modset import Modset
     from modimizer_tpu.core.seqhash import Seqhash
     from modimizer_tpu.io import seqio
-    from modimizer_tpu.parallel.sharded import (ShardedModsetBuilder,
-                                                build_mesh, sharded_build_step)
+    from modimizer_tpu.parallel.sharded import ShardedModsetBuilder, build_mesh
 
     log(f"devices: {jax.devices()}")
     sh = Seqhash.create(K, W, SEED)
@@ -102,7 +102,8 @@ def tpu_rate(fa: Path) -> float:
     batch, _t = seqio.read_seq_file(str(fa), seqio.dna2index_n0(),
                                     is_qual=False, want_ids=False)
     t_parse = time.perf_counter()
-    builder = ShardedModsetBuilder(sh, mesh)
+    builder = ShardedModsetBuilder(sh, mesh, state_size=1 << 24,
+                                   max_buffer_rows=1 << 25)
     builder.feed_stream(batch.codes, batch.offsets)
     t_feed = time.perf_counter()
     uniq, counts = builder.finalize()
@@ -118,44 +119,37 @@ def tpu_rate(fa: Path) -> float:
         f"{e2e/1e6:.1f} Mkmers/s; {builder.total_emitted} kmers, "
         f"{ms.max} unique")
 
-    # ---- chip rate: repeated steps on resident inputs ----
+    # ---- chip rate: dependency-chained steps on resident data ----
+    # (block_until_ready does not actually synchronize under the axon
+    # tunnel, so each step consumes the previous step's count and the
+    # chain's final scalar is pulled to host)
     from modimizer_tpu.ops.packed import pack_bits, pack_sw
-    import jax.numpy as jnp
+    from modimizer_tpu.parallel.sharded import _scan_compact_local
     b2 = ShardedModsetBuilder(sh, mesh)
     C = b2.chunk
-    NW = C // 32
-    n = b2.n
-    codes = np.ascontiguousarray(batch.codes[:n * C + K - 1]).view(np.uint8)
-    sw = np.zeros((n, NW + 2), np.uint64)
-    vb = np.zeros((n, C // 64), np.uint64)
-    for d in range(n):
-        sw[d] = pack_sw(codes[d * C:d * C + C + K - 1], NW + 2)
-        vb[d] = pack_bits(np.ones(min(C, max(0, len(codes) - d * C)), bool),
-                          C // 64)
-    sw_d = jnp.asarray(sw)
-    vb_d = jnp.asarray(vb)
-    gpos = jnp.asarray(np.arange(n, dtype=np.uint64) * np.uint64(C))
+    codes = np.ascontiguousarray(batch.codes[:C + K - 1]).view(np.uint8)
+    sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
+    vb_d = jnp.asarray(pack_bits(np.ones(min(C, len(codes)), bool), C // 64))
 
-    def step():
-        out = sharded_build_step(
-            b2.state_k, b2.state_d, b2.state_m, sw_d, vb_d, gpos,
-            k=K, w=W, factor1=sh.factor1, cap=b2.cap, n_shards=n, S=b2.S,
-            C=C, mesh=mesh)
-        return out
+    def step(dep):
+        swx = sw_d.at[0].set(sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+        return _scan_compact_local(swx, vb_d, k=K, w=W, factor1=sh.factor1,
+                                   C=C, bo=b2.bo)
 
-    out = step()
-    b2.state_k, b2.state_d, b2.state_m = out[:3]
-    np.asarray(out[4])  # sync
-    reps = 8
+    dep = jnp.int64(0)
+    out = step(dep)
+    int(np.asarray(out[2]))  # warm + true sync
+    reps = 16
     t0 = time.perf_counter()
+    dep = jnp.int64(0)
     for _ in range(reps):
-        out = step()
-        b2.state_k, b2.state_d, b2.state_m = out[:3]
-    np.asarray(out[4])  # sync
+        out = step(dep)
+        dep = out[2]
+    int(np.asarray(dep))
     t1 = time.perf_counter()
-    chip = reps * n * C / (t1 - t0)
+    chip = reps * C / (t1 - t0)
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
-        f"({(t1-t0)/reps*1e3:.0f} ms/step of {n}x{C})")
+        f"({(t1-t0)/reps*1e3:.1f} ms/step of {C})")
     return chip
 
 

@@ -89,118 +89,251 @@ def sort_u64_with_payload(keys, *payloads):
     return (keys_s, *res)
 
 
-def _merge_sorted_state(state_k, state_d, state_m, in_k, in_d, in_m, S):
-    """Merge incoming (kmer, depth, minpos) into sorted fixed-size state.
+def _sort_multi(keys, payloads, is_stable=False):
+    """lax.sort with u64 keys/payloads split into u32 pairs (TPU-friendly)."""
+    cols = []
+    layout = []
+    for a, is_key in ([(k, True) for k in keys] +
+                      [(p, False) for p in payloads]):
+        if a.dtype == jnp.uint64:
+            hi, lo = _split64(a)
+            cols += [hi, lo]
+            layout.append((is_key, "u64"))
+        else:
+            cols.append(a)
+            layout.append((is_key, None))
+    nkeys = sum(2 if t == "u64" else 1 for is_key, t in layout if is_key)
+    out = jax.lax.sort(tuple(cols), num_keys=nkeys, is_stable=is_stable)
+    res = []
+    i = 0
+    for _is_key, t in layout:
+        if t == "u64":
+            res.append(_join64(out[i], out[i + 1]))
+            i += 2
+        else:
+            res.append(out[i])
+            i += 1
+    return res
 
-    state_k sorted ascending with U64_SENTINEL padding.  Returns new state +
-    overflow flag.  Depth saturates at U16MAX."""
-    allk = jnp.concatenate([state_k, in_k])
-    alld = jnp.concatenate([state_d, in_d])
-    allm = jnp.concatenate([state_m, in_m])
-    k_s, d_s, m_s = sort_u64_with_payload(allk, alld, allm)
-    n = k_s.shape[0]
-    first = jnp.concatenate([jnp.array([True]), k_s[1:] != k_s[:-1]])
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-    depth = jax.ops.segment_sum(d_s, seg, num_segments=n)
-    depth = jnp.minimum(depth, jnp.uint32(0xFFFF))
-    minpos = jax.ops.segment_min(m_s, seg, num_segments=n)
-    head_slot = jnp.where(first & (k_s != U64_SENTINEL), seg, S)
-    new_k = jnp.full(S, U64_SENTINEL, jnp.uint64).at[head_slot].set(
-        k_s, mode="drop")
-    new_d = jnp.zeros(S, jnp.uint32).at[head_slot].set(depth[seg], mode="drop")
-    new_m = jnp.full(S, POS_INF, jnp.uint64).at[head_slot].set(
-        minpos[seg], mode="drop")
-    n_unique = jnp.sum(first & (k_s != U64_SENTINEL)).astype(jnp.int32)
-    overflow = n_unique > S
-    return new_k, new_d, new_m, overflow
+
+def sort_u64_with_payload(keys, *payloads):
+    """Sort u64 keys ascending with payloads (stable)."""
+    out = _sort_multi([keys], list(payloads), is_stable=True)
+    return (out[0], *out[1:])
+
+
+# ------------------------------------------------------------------
+# scatter-free build pipeline
+#
+# TPU scatters with data-dependent indices serialize (~0.5 s for 1M rows on
+# v5e), so every placement here is a sort + gather:
+#   - routing pads each owner group to `cap` slots by sorting cap sentinel
+#     rows per owner alongside the real rows, then gathering group_start+r;
+#   - received rows are appended to a contiguous ring with a
+#     dynamic_update_slice (contiguous, fast);
+#   - the periodic compaction sorts (kmer, pos) lexicographically, compacts
+#     segment heads to the front with one stable argsort, and reduces depth
+#     with a cumsum difference — no segment_sum, no scatter.
+# ------------------------------------------------------------------
+
+
+BLK = 4096  # block size for the n=1 top_k compaction fast path
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "C", "bo"))
+def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
+    """Single-device scan step: one unstable 3-column sort compacts the
+    emitted rows (the emitted-first key embeds the stream position, so the
+    compacted rows come out in stream order and the position IS the key —
+    gather-free, which matters because TPU gathers cost ~30 ns/row while
+    sorts move payload columns at memory speed).
+
+    bo = output rows per BLK positions; E = C/BLK*bo total output rows.
+    Returns (kmers u64 [E], local pos u32 [E], n_emit, overflow)."""
+    E = (C // BLK) * bo
+    tw = derive_tw(sw)
+    h, hrc = extract_kmers(sw, tw, k, C)
+    hashes, kmers, _isF = canonical_hashes(h, hrc, k, factor1)
+    valid = expand_bits(vbits, C)
+    emit = valid & ((hashes % jnp.uint64(w)) == jnp.uint64(0))
+    khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    pos = jnp.arange(C, dtype=jnp.uint32)
+    keypos = jnp.where(emit, pos, pos | jnp.uint32(0x80000000))
+    sk, shi, slo = jax.lax.sort((keypos, khi, klo), num_keys=1,
+                                is_stable=False)
+    n_emit = jnp.sum(emit)
+    rowid = jnp.arange(E, dtype=jnp.uint32)
+    live = rowid < n_emit
+    out_k = jnp.where(live, _join64(shi[:E], slo[:E]), U64_SENTINEL)
+    out_p = jnp.where(live, sk[:E], jnp.uint32(0xFFFFFFFF))
+    return out_k, out_p, n_emit.astype(jnp.int64), n_emit > E
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "factor1", "cap", "n_shards",
-                                    "S", "C", "mesh"))
-def sharded_build_step(state_k, state_d, state_m, sw, vbits, gpos_base,
-                       *, k, w, factor1, cap, n_shards, S, C, mesh):
-    """One sharded build step over the mesh.
+                                    "C", "mesh"))
+def sharded_scan_route(sw, vbits, gpos_base, *, k, w, factor1, cap, n_shards,
+                       C, mesh):
+    """Multi-device path: scan each device's packed slice and route emitted
+    kmers to their owner shard with all_to_all over the mesh.  Returns
+    (recv_k, recv_p u64 global positions) of shape [n_shards, n_shards*cap]
+    (sentinel-padded), per-shard emit counts and an overflow flag."""
 
-    state_*: [n_shards, S]; sw: u64 [n_shards, C/32 + 2] packed stream with
-    halo; vbits: u64 [n_shards, C/64] validity bits; gpos_base: u64
-    [n_shards] global stream position of each device's slice."""
-
-    def step(sk, sd, sm, sw_l, vb_l, base_l):
-        sk, sd, sm = sk[0], sd[0], sm[0]
+    def step(sw_l, vb_l, base_l):
         sw_l, vb_l, base_l = sw_l[0], vb_l[0], base_l[0]
         tw_l = derive_tw(sw_l)
         h, hrc = extract_kmers(sw_l, tw_l, k, C)
         hashes, kmers, _isF = canonical_hashes(h, hrc, k, factor1)
         valid = expand_bits(vb_l, C)
         emit = valid & ((hashes % jnp.uint64(w)) == jnp.uint64(0))
+        gpos = base_l + jnp.arange(C, dtype=jnp.uint64)
+        n_emit = jnp.sum(emit).astype(jnp.int64)
         owner = ((hashes // jnp.uint64(w)) % jnp.uint64(n_shards)).astype(
             jnp.uint32)
 
-        # group emitted kmers by owner (stream order within groups)
-        key = jnp.where(emit, owner, jnp.uint32(n_shards))
-        order = jnp.argsort(key, stable=True)
-        so = key[order]
-        km_o = kmers[order]
-        gpos = base_l + jnp.arange(C, dtype=jnp.uint64)
-        gp_o = gpos[order]
-        group_start = jnp.searchsorted(so, jnp.arange(n_shards,
-                                                      dtype=jnp.uint32))
-        rank = jnp.arange(C) - group_start[jnp.minimum(so, n_shards - 1)]
-        ok = (so < n_shards) & (rank < cap)
-        slot = jnp.where(ok, so.astype(jnp.int32) * cap +
-                         rank.astype(jnp.int32), n_shards * cap)
-        send_k = jnp.full(n_shards * cap, U64_SENTINEL, jnp.uint64
-                          ).at[slot].set(km_o, mode="drop")
-        send_p = jnp.full(n_shards * cap, POS_INF, jnp.uint64
-                          ).at[slot].set(gp_o, mode="drop")
-        send_overflow = jnp.any((so < n_shards) & (rank >= cap))
+        # sort real rows (key 2*owner) with cap pad rows per owner (2*o+1):
+        # pad-to-cap by sorting, then gather group_start + rank — no scatter
+        key_real = jnp.where(emit, owner * 2, jnp.uint32(2 * n_shards))
+        key_pad = (jnp.arange(n_shards * cap, dtype=jnp.uint32) // cap) * 2 + 1
+        allk = jnp.concatenate([key_real, key_pad])
+        allv = jnp.concatenate([kmers, jnp.full(n_shards * cap, U64_SENTINEL,
+                                                jnp.uint64)])
+        allp = jnp.concatenate([gpos, jnp.full(n_shards * cap, POS_INF,
+                                               jnp.uint64)])
+        sk, sv, sp = _sort_multi([allk], [allv, allp])
+        starts = jnp.searchsorted(sk, jnp.arange(n_shards,
+                                                 dtype=jnp.uint32) * 2)
+        ends = jnp.searchsorted(sk, jnp.arange(n_shards,
+                                               dtype=jnp.uint32) * 2 + 1)
+        overflow = jnp.any((ends - starts) > cap)
+        j = jnp.arange(n_shards * cap)
+        idx = starts[j // cap] + (j % cap)
+        send_k = jnp.take(sv, idx)
+        send_p = jnp.take(sp, idx)
 
-        recv_k = jax.lax.all_to_all(send_k.reshape(n_shards, cap), "shard",
-                                    split_axis=0, concat_axis=0, tiled=True)
-        recv_p = jax.lax.all_to_all(send_p.reshape(n_shards, cap), "shard",
-                                    split_axis=0, concat_axis=0, tiled=True)
-        in_k = recv_k.reshape(-1)
-        in_p = recv_p.reshape(-1)
-        in_d = jnp.where(in_k != U64_SENTINEL, jnp.uint32(1), jnp.uint32(0))
+        def a2a(x):
+            return jax.lax.all_to_all(x.reshape(n_shards, cap), "shard",
+                                      split_axis=0, concat_axis=0,
+                                      tiled=True).reshape(-1)
 
-        nk, nd, nm, merge_overflow = _merge_sorted_state(
-            sk, sd, sm, in_k, in_d, in_p, S)
-        n_emit = jnp.sum(emit).astype(jnp.int64)
-        return (nk[None], nd[None], nm[None],
-                (merge_overflow | send_overflow)[None], n_emit[None])
+        recv_k = a2a(send_k)
+        recv_p = a2a(send_p)
+        return recv_k[None], recv_p[None], n_emit[None], overflow[None]
 
     f = shard_map(step, mesh,
-                  in_specs=(P("shard"), P("shard"), P("shard"),
-                            P("shard"), P("shard"), P("shard")),
-                  out_specs=(P("shard"), P("shard"), P("shard"),
-                             P("shard"), P("shard")))
-    return f(state_k, state_d, state_m, sw, vbits, gpos_base)
+                  in_specs=(P("shard"), P("shard"), P("shard")),
+                  out_specs=(P("shard"), P("shard"), P("shard"), P("shard")))
+    return f(sw, vbits, gpos_base)
+
+
+def _compact_core(sk, sd, sm, bk, bm, S):
+    """Shared compaction math on 1-D arrays: sort (kmer, pos) lex, compact
+    heads to the front with one stable sort, reduce depth by cumsum diff."""
+    allk = jnp.concatenate([sk, bk])
+    alld = jnp.concatenate(
+        [sd, jnp.where(bk != U64_SENTINEL, jnp.uint32(1), jnp.uint32(0))])
+    allm = jnp.concatenate([sm, bm])
+    N = allk.shape[0]
+    k_s, m_s, d_s = _sort_multi([allk, allm], [alld])
+    live = k_s != U64_SENTINEL
+    first = jnp.concatenate([jnp.array([True]),
+                             k_s[1:] != k_s[:-1]]) & live
+    n_heads = jnp.sum(first.astype(jnp.int32))
+    n_live = jnp.sum(live.astype(jnp.int32))
+    order = _sort_multi([(~first).astype(jnp.uint8)],
+                        [jnp.arange(N, dtype=jnp.int32)],
+                        is_stable=True)[1]
+    cs = jnp.cumsum(d_s.astype(jnp.uint64))
+    j = jnp.arange(N, dtype=jnp.int32)
+    p = order
+    p_next = jnp.where(j + 1 < n_heads, jnp.roll(order, -1), n_live)
+    total = (jnp.take(cs, jnp.maximum(p_next - 1, 0)) - jnp.take(cs, p)
+             + jnp.take(d_s, p).astype(jnp.uint64))
+    depth = jnp.minimum(total, jnp.uint64(0xFFFF)).astype(jnp.uint32)
+    is_head_row = j < n_heads
+    new_k = jnp.where(is_head_row[:S], jnp.take(k_s, p[:S]), U64_SENTINEL)
+    new_d = jnp.where(is_head_row[:S], depth[:S], jnp.uint32(0))
+    new_m = jnp.where(is_head_row[:S], jnp.take(m_s, p[:S]), POS_INF)
+    return new_k, new_d, new_m, n_heads, n_heads > S
+
+
+@functools.partial(jax.jit, static_argnames=("S", "n_recv"))
+def compact_local(state_k, state_d, state_m, bases, *recv, S, n_recv):
+    """n=1 compaction: fold n_recv (kmers u64, pos u32) batches (each with a
+    u64 base offset in `bases`) into the sorted state."""
+    ks = [r for r in recv[:n_recv]]
+    ps = [r for r in recv[n_recv:]]
+    bk = jnp.concatenate(ks)
+    bm = jnp.concatenate(
+        [p.astype(jnp.uint64) + bases[i] for i, p in enumerate(ps)])
+    bm = jnp.where(bk != U64_SENTINEL, bm, POS_INF)
+    return _compact_core(state_k[0], state_d[0], state_m[0], bk, bm, S)
+
+
+@functools.partial(jax.jit, static_argnames=("S", "n_recv", "mesh"))
+def compact_sharded(state_k, state_d, state_m, *recv, S, n_recv, mesh):
+    """Multi-device compaction: fold n_recv [n, width] u64 (kmer, gpos)
+    batches into each shard's sorted state."""
+
+    def step(sk, sd, sm, *rs):
+        bk = jnp.concatenate([r[0] for r in rs[:n_recv]])
+        bm = jnp.concatenate([r[0] for r in rs[n_recv:]])
+        nk, nd, nm, nh, ov = _compact_core(sk[0], sd[0], sm[0], bk, bm, S)
+        return nk[None], nd[None], nm[None], nh[None], ov[None]
+
+    f = shard_map(step, mesh, in_specs=(P("shard"),) * (3 + 2 * n_recv),
+                  out_specs=(P("shard"),) * 5)
+    return f(state_k, state_d, state_m, *recv)
 
 
 class ShardedModsetBuilder:
-    """Host driver: feeds packed stream chunks to the mesh, keeps sharded
-    state, finalizes into the exact first-encounter insertion stream."""
+    """Host driver: feeds packed stream chunks to the mesh, accumulates the
+    routed batches as device arrays (zero-copy), compacts on memory pressure
+    or finalize, and returns the exact first-encounter insertion stream.
+
+    n=1 meshes skip routing and shard_map entirely (plain jit, u32 local
+    positions); n>1 routes by hash prefix with all_to_all over ICI."""
 
     def __init__(self, sh, mesh: Mesh, chunk_per_dev=1 << 22,
-                 state_size=1 << 23, cap=None, max_state_size=1 << 28):
+                 state_size=1 << 20, cap=None, max_state_size=1 << 28,
+                 max_buffer_rows=1 << 25, merge_every=None):
         self.sh = sh
         self.mesh = mesh
         self.n = mesh.devices.size
-        # chunk must be a multiple of 64 for bit packing alignment
-        self.chunk = max(64, (chunk_per_dev // 64) * 64)
+        self.chunk = max(BLK, (chunk_per_dev // BLK) * BLK)
         self.S = state_size
         self.max_S = max_state_size
+        self.max_buffer_rows = max_buffer_rows
         self.cap = cap or int(max(1024, 4 * self.chunk / sh.w))
+        if self.n == 1:
+            want = cap * BLK // self.chunk if cap else 2 * BLK // sh.w
+            self.bo = int(min(BLK, max(8, ((want + 7) // 8) * 8)))
+        else:
+            self.bo = 0
         n, S = self.n, self.S
         self.state_k = jnp.full((n, S), U64_SENTINEL, jnp.uint64)
         self.state_d = jnp.zeros((n, S), jnp.uint32)
         self.state_m = jnp.full((n, S), POS_INF, jnp.uint64)
+        self.recv_k = []   # accumulated device arrays
+        self.recv_p = []
+        self.bases = []    # u64 chunk base per batch (n=1 path)
         self.total_emitted = 0
-        self._pending = []   # (snapshot_state, inputs, outputs)
+        self._pending = []  # (inputs, base, out) awaiting overflow check
+
+    def _recv_rows(self):
+        if self.n == 1:
+            return (self.chunk // BLK) * self.bo
+        return self.n * self.cap
+
+    def _widen(self):
+        if self.n == 1:
+            self.bo = min(BLK, self.bo * 2)
+        else:
+            self.cap *= 2
 
     def _grow(self, new_S):
-        """Pad the sorted state to a bigger capacity (sentinels sort last)."""
         if new_S > self.max_S:
             raise RuntimeError("sharded modset state exceeds max_state_size")
         n = self.n
@@ -213,34 +346,80 @@ class ShardedModsetBuilder:
             [self.state_m, jnp.full((n, pad), POS_INF, jnp.uint64)], 1)
         self.S = new_S
 
-    def _step(self, sw, vb, gpos):
+    def _route(self, inputs):
         sh = self.sh
-        return sharded_build_step(
-            self.state_k, self.state_d, self.state_m, sw, vb, gpos,
-            k=sh.k, w=sh.w, factor1=sh.factor1, cap=self.cap,
-            n_shards=self.n, S=self.S, C=self.chunk, mesh=self.mesh)
+        if self.n == 1:
+            sw, vb, _gpos = inputs
+            return _scan_compact_local(sw[0], vb[0], k=sh.k, w=sh.w,
+                                       factor1=sh.factor1, C=self.chunk,
+                                       bo=self.bo)
+        return sharded_scan_route(
+            *inputs, k=sh.k, w=sh.w, factor1=sh.factor1,
+            cap=self.cap, n_shards=self.n, C=self.chunk, mesh=self.mesh)
 
-    def _drain(self, force=False, window=2):
-        """Retire pending steps; on overflow, roll back to the snapshot,
-        grow the state, and replay the pending inputs synchronously."""
+    def _append(self, out, base):
+        self.recv_k.append(out[0])
+        self.recv_p.append(out[1])
+        self.bases.append(base)
+
+    def _buffered_rows(self):
+        return len(self.recv_k) * self._recv_rows()
+
+    def _compact(self):
+        self._check_pending(force=True)
+        if not self.recv_k:
+            return
+        while True:
+            if self.n == 1:
+                bases = jnp.asarray(np.array(self.bases, np.uint64))
+                out = compact_local(self.state_k, self.state_d, self.state_m,
+                                    bases, *(self.recv_k + self.recv_p),
+                                    S=self.S, n_recv=len(self.recv_k))
+            else:
+                out = compact_sharded(self.state_k, self.state_d,
+                                      self.state_m,
+                                      *(self.recv_k + self.recv_p),
+                                      S=self.S, n_recv=len(self.recv_k),
+                                      mesh=self.mesh)
+            if not bool(np.any(np.asarray(out[4]))):
+                break
+            need = int(np.asarray(out[3]).max())
+            new_s = self.S * 2
+            while new_s < need:
+                new_s *= 2
+            self._grow(new_s)
+        nk, nd, nm = out[:3]
+        if self.n == 1:
+            nk, nd, nm = nk[None], nd[None], nm[None]
+        self.state_k, self.state_d, self.state_m = nk, nd, nm
+        self.recv_k, self.recv_p, self.bases = [], [], []
+
+    def _check_pending(self, force=False, window=4):
         while self._pending and (force or len(self._pending) > window):
-            snapshot, inputs, out = self._pending.pop(0)
-            overflow = bool(np.any(np.asarray(out[3])))
-            if not overflow:
-                self.total_emitted += int(np.asarray(out[4]).sum())
+            inputs, base, out = self._pending.pop(0)
+            if bool(np.any(np.asarray(out[3 if self.n == 1 else 3]))):
+                self._replay_overflow((inputs, base))
                 continue
-            # rollback: discard this and all later pending results
-            replay = [inputs] + [p[1] for p in self._pending]
-            self._pending = []
-            self.state_k, self.state_d, self.state_m = snapshot
-            self._grow(self.S * 2)
-            for inp in replay:
-                out = self._step(*inp)
-                while bool(np.any(np.asarray(out[3]))):
-                    self._grow(self.S * 2)
-                    out = self._step(*inp)
-                self.state_k, self.state_d, self.state_m = out[:3]
-                self.total_emitted += int(np.asarray(out[4]).sum())
+            self.total_emitted += int(np.asarray(out[2]).sum())
+
+    def _replay_overflow(self, first):
+        """A chunk overflowed its routing capacity (low-complexity input):
+        drop its batch (and all later uncommitted ones), widen, re-route."""
+        replay = [first] + [(i, b) for (i, b, _o) in self._pending]
+        self._pending = []
+        n_drop = len(replay)
+        del self.recv_k[-n_drop:]
+        del self.recv_p[-n_drop:]
+        del self.bases[-n_drop:]
+        self._widen()
+        for inputs, base in replay:
+            while True:
+                out = self._route(inputs)
+                if not bool(np.any(np.asarray(out[3]))):
+                    break
+                self._widen()
+            self._append(out, base)
+            self.total_emitted += int(np.asarray(out[2]).sum())
 
     def feed_stream(self, codes: np.ndarray, offsets: np.ndarray,
                     base: int = 0):
@@ -269,17 +448,18 @@ class ShardedModsetBuilder:
                 np.uint64(base + s) +
                 np.arange(self.n, dtype=np.uint64) * np.uint64(C))
             inputs = (jnp.asarray(sw), jnp.asarray(vb), gpos)
-            snapshot = (self.state_k, self.state_d, self.state_m)
-            out = self._step(*inputs)
-            self.state_k, self.state_d, self.state_m = out[:3]
-            self._pending.append((snapshot, inputs, out))
-            self._drain()
-        self._drain(force=True)
+            out = self._route(inputs)
+            if self._buffered_rows() + self._recv_rows() > self.max_buffer_rows:
+                self._compact()
+            self._append(out, np.uint64(base + s))
+            self._pending.append((inputs, np.uint64(base + s), out))
+            self._check_pending()
+        self._check_pending(force=True)
 
     def finalize(self):
         """Gather shards and return (kmers, counts) in first-encounter order —
         identical to the sequential build's insertion stream."""
-        self._drain(force=True)
+        self._compact()
         ks = np.asarray(self.state_k).reshape(-1)
         ds = np.asarray(self.state_d).reshape(-1)
         ms = np.asarray(self.state_m).reshape(-1)

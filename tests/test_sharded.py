@@ -108,3 +108,75 @@ def test_sharded_merge_matches_native():
     ms_c.depth[1:ms_c.max + 1] = ds
     ms_c.info[1:ms_c.max + 1] = infos
     assert ms_c.to_bytes() == ms_a.to_bytes()
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_sharded_build_cap_overflow_replay():
+    """Low-complexity input (every position emits the same kmer) overflows
+    the per-owner routing cap; the builder must replay with a wider cap and
+    still match the sequential build exactly."""
+    sh = Seqhash.create(16, 16, 17)
+    # find a repeating base whose homopolymer kmer is emitted
+    rng = np.random.default_rng(2)
+    for b in range(4):
+        codes = np.full(6000, b, np.uint8)
+        sc = ModimizerScanner(sh, chunk=1 << 12)
+        kmers, _g, _f = sc.scan_stream(
+            codes, np.array([0, len(codes)], np.int64))
+        if len(kmers) > 3000:
+            break
+    else:
+        pytest.skip("no homopolymer kmer emits for this seed")
+    # mix with random sequence
+    tail = rng.integers(0, 4, size=4000).astype(np.uint8)
+    codes = np.concatenate([codes, tail])
+    offsets = np.array([0, len(codes)], np.int64)
+    sc = ModimizerScanner(sh, chunk=1 << 12)
+    kmers, _g, _f = sc.scan_stream(codes, offsets)
+    uniq, counts = first_encounter_unique(kmers)
+
+    mesh = build_mesh()
+    b = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 10,
+                             state_size=1 << 12, cap=64)  # force overflow
+    b.feed_stream(codes, offsets)
+    ks, ds = b.finalize()
+    assert b.total_emitted == len(kmers)
+    assert np.array_equal(ks, uniq)
+    assert np.array_equal(ds, counts)
+    assert b.cap > 64  # the replay actually widened the cap
+
+
+def test_single_device_fast_path():
+    """n=1 mesh uses the blockwise top_k path (no sort, no collective)."""
+    rng = np.random.default_rng(8)
+    sh = Seqhash.create(16, 16, 17)
+    lens = rng.integers(100, 500, size=80)
+    seqs = [rng.integers(0, 4, size=l).astype(np.uint8) for l in lens]
+    codes = np.concatenate(seqs)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    sc = ModimizerScanner(sh, chunk=1 << 12)
+    kmers, _g, _f = sc.scan_stream(codes, offsets)
+    uniq, counts = first_encounter_unique(kmers)
+
+    mesh = build_mesh(n_devices=1)
+    b = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 13,
+                             state_size=1 << 12)
+    assert b.bo > 0
+    b.feed_stream(codes, offsets)
+    ks, ds = b.finalize()
+    assert np.array_equal(ks, uniq)
+    assert np.array_equal(ds, counts)
+
+    # and the overflow/widen path on a homopolymer stream
+    for base in range(4):
+        cd = np.full(5000, base, np.uint8)
+        km2, _g2, _f2 = sc.scan_stream(cd, np.array([0, 5000], np.int64))
+        if len(km2) > 2000:
+            b2 = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 13,
+                                      state_size=1 << 12, cap=16)
+            b2.feed_stream(cd, np.array([0, 5000], np.int64))
+            k2, d2 = b2.finalize()
+            u2, c2 = first_encounter_unique(km2)
+            assert np.array_equal(k2, u2)
+            assert np.array_equal(d2, c2)
+            break
