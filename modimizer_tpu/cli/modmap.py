@@ -36,14 +36,11 @@ def usage(params, num_threads):
     e("  -q | --query <query fasta file>\n")
 
 
-def _i32(u):
-    """C int from U32 arithmetic."""
-    u &= 0xFFFFFFFF
-    return u - (1 << 32) if u >= (1 << 31) else u
-
-
 def query_process(ref: Reference, filename, out, is_verbose):
-    """queryProcess (modmap.c:188-281)."""
+    """queryProcess (modmap.c:188-281): seeding batched on TPU + host table
+    lookup; the greedy colinear chaining automaton and Q/M emission run in
+    the native runtime (mm_query_emit)."""
+    import ctypes
     ms = ref.ms
     try:
         batch, _t = seqio.read_seq_file(filename, seqio.dna2index_n0(),
@@ -53,101 +50,60 @@ def query_process(ref: Reference, filename, out, is_verbose):
     scanner = ModimizerScanner(ms.hasher, want_isf=False)
     kmers, rid, rpos, _f = scanner.scan_batch(batch)
     sidx = ms.find_batch(kmers)
-    info = ms.info
-    copyn_all = (info[sidx] & 3).astype(np.int8)
-    copyn_all[sidx == 0] = -1  # missed
 
-    rev, loc, offs, ids = ref.rev, ref.loc, ref.offset, ref.id
-    dict_names = ref.dict
+    n = batch.n
+    seed_off = np.searchsorted(rid, np.arange(n + 1)).astype(np.int64)
+    spos = np.ascontiguousarray(rpos, np.int64)
+    sidx = np.ascontiguousarray(sidx, np.uint32)
 
-    bounds = np.searchsorted(rid, np.arange(batch.n + 1))
-    lens = batch.lengths
-    for r in range(batch.n):
-        a, b = bounds[r], bounds[r + 1]
-        seeds_idx = sidx[a:b]
-        seeds_pos = rpos[a:b]
-        cn = copyn_all[a:b]
-        n_seeds = b - a
-        missed = int((cn < 0).sum())
-        c1 = int((cn == 1).sum())
-        c2 = int((cn == 2).sum())
-        cm = int((cn == 3).sum())
-        out.write("Q\t%s\t%d\t%d miss, %d copy1, %d copy2, %d multi, %.2f hit\n"
-                  % (batch.ids[r], int(lens[r]), missed, c1, c2, cm,
-                     (n_seeds - missed) / n_seeds if n_seeds else float("nan")))
+    def blob(strings):
+        offs = np.zeros(len(strings) + 1, np.int64)
+        parts = []
+        total = 0
+        for i, name in enumerate(strings):
+            b = name.encode("latin1") + b"\0"
+            parts.append(b)
+            offs[i] = total
+            total += len(b)
+        offs[-1] = total
+        return b"".join(parts), offs
 
-        # greedy colinear chaining (modmap.c:216-276)
-        loc0 = 0
-        locN = i0 = iN = 0
-        n1 = n2 = 0
+    names, name_off = blob([ref.dict.name(i) for i in range(ref.dict.max)])
+    qids, qid_off = blob(batch.ids)
+    qlen = np.ascontiguousarray(batch.lengths, np.int64)
 
-        def emit_M(n1, n2, i0, iN, loc0, locN):
-            denom = (locN - loc0) if locN > loc0 else (loc0 - locN)
-            dens = (n1 + n2) / denom if denom else float("inf")
-            frac = n1 / c1 if c1 else (float("nan") if n1 == 0 else float("inf"))
-            out.write("M\t%s\t%d\t%d\t%d\t%s\t%d\t%d\t%d %d\t%.2f\t%.2f\n"
-                      % (batch.ids[r], int(seeds_pos[i0]), int(seeds_pos[iN]),
-                         int(seeds_pos[iN]) - int(seeds_pos[i0]),
-                         dict_names.name(int(ids[loc0])),
-                         int(offs[loc0]), int(offs[locN]), n1, n2,
-                         dens, frac))
+    import sys as _sys
+    import tempfile
+    _sys.stdout.flush()
+    out.flush()
 
-        for i in range(n_seeds):
-            si = int(seeds_idx[i])
-            if not si or cn[i] == 3:  # missed or copyM: skip
-                continue
-            # NB for a copy0 mod absent from the reference the C reads out of
-            # bounds here (rev[loc[si]] with depth 0); we clamp instead
-            lloc = int(rev[min(int(loc[si]), len(rev) - 1)])
-            is1 = cn[i] == 1
-            if is_verbose:
-                if is1:
-                    sys.stdout.write("  %6d\t%s %d\n" % (
-                        int(seeds_pos[i]), dict_names.name(int(ids[lloc])),
-                        int(offs[lloc])))
-                else:
-                    loc2 = int(rev[int(loc[si]) + 1])
-                    sys.stdout.write("  %6d\t%s %d\t%s %d\n" % (
-                        int(seeds_pos[i]), dict_names.name(int(ids[lloc])),
-                        int(offs[lloc]), dict_names.name(int(ids[loc2])),
-                        int(offs[loc2])))
+    def fd_of(stream):
+        """Real fd, or a spool file when the stream has none (tests)."""
+        try:
+            return stream.fileno(), None
+        except (AttributeError, OSError, ValueError):
+            tmp = tempfile.TemporaryFile()
+            return tmp.fileno(), tmp
 
-            def block_test(lv):
-                if ids[lv] != ids[loc0]:
-                    return True
-                if loc0 < locN:
-                    if lv < locN:
-                        return True
-                    d = _i32(locN - loc0 - iN + i0)
-                    if d > 50 or d < -50:
-                        return True
-                elif loc0 > locN:
-                    if lv > locN:
-                        return True
-                    d = _i32(loc0 - locN - iN + i0)
-                    if d > 50 or d < -50:
-                        return True
-                return False
-
-            end_block = (not loc0) or block_test(lloc)
-            if end_block and loc0 and not is1:  # try the second occurrence
-                lloc = int(rev[min(int(loc[si]) + 1, len(rev) - 1)])
-                end_block = block_test(lloc)
-            if end_block:
-                if n1 > 2:
-                    emit_M(n1, n2, i0, iN, loc0, locN)
-                n1 = 0
-                n2 = 0
-                loc0 = lloc
-                i0 = i
-            if is1:
-                n1 += 1
-            else:
-                n2 += 1
-            locN = lloc
-            iN = i
-        if n2 > 2:  # final-block flush quirk (modmap.c:269)
-            emit_M(n1, n2, i0, iN, loc0, locN)
+    fd_out, spool_out = fd_of(out.f)
+    if out.f is _sys.stdout:
+        fd_so, spool_so = fd_out, None  # one stream: keep line interleaving
+    else:
+        fd_so, spool_so = fd_of(_sys.stdout)
+    from ..native import lib as native_lib
+    native_lib().mm_query_emit(
+        seed_off, sidx, spos, np.ascontiguousarray(ms.info, np.uint8),
+        np.ascontiguousarray(ref.rev, np.uint32),
+        np.ascontiguousarray(ref.loc, np.uint32),
+        np.ascontiguousarray(ref.offset, np.uint32),
+        np.ascontiguousarray(ref.id, np.uint32),
+        len(ref.rev), names, name_off, qids, qid_off, qlen, n,
+        int(is_verbose), fd_out, fd_so)
+    for spool, target in ((spool_out, out.f), (spool_so, _sys.stdout)):
+        if spool is not None:
+            spool.seek(0)
+            target.write(spool.read().decode("latin1"))
+            spool.close()
 
 
 def main(argv=None):

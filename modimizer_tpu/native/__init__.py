@@ -122,3 +122,10 @@ def _declare(L):
         fn = getattr(L, name)
         fn.restype = None
         fn.argtypes = [vp] + extra
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    L.mm_query_emit.restype = None
+    L.mm_query_emit.argtypes = [i64p, u32p, i64p, u8p, u32p, u32p, u32p,
+                                u32p, c.c_int64, c.c_char_p, i64p,
+                                c.c_char_p, i64p, i64p, c.c_int64, c.c_int,
+                                c.c_int, c.c_int]

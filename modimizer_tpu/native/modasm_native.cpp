@@ -1544,3 +1544,111 @@ extern "C" void rs_assemble_from_read(RSView *v, I64 ix) {
   hDestroyCount();
   sinksClose(s);
 }
+
+// ------------------------------------------------------------------
+// modmap query chaining (queryProcess, modmap.c:183-280): the greedy
+// colinear block automaton + Q/M/verbose line emission.  Seeding runs on
+// the TPU; this walks the per-read seed lists at C speed.
+// ------------------------------------------------------------------
+
+extern "C" void mm_query_emit(
+    const I64 *seedOff, const U32 *sidx, const I64 *spos, const U8 *info,
+    const U32 *rev, const U32 *loc, const U32 *offs, const U32 *ids,
+    I64 revLen, const char *namesBlob, const I64 *nameOff,
+    const char *qidsBlob, const I64 *qidOff, const I64 *qlen, I64 nReads,
+    int isVerbose, int fdOut, int fdStdout) {
+  bool same = (fdOut == fdStdout) || fdOut < 0;
+  FILE *so = fdopen(dup(fdStdout), "w");
+  FILE *fo = same ? so : fdopen(dup(fdOut), "w");
+  if (!so || !fo) die("modmap native: cannot open output stream");
+
+  for (I64 r = 0; r < nReads; ++r) {
+    I64 a = seedOff[r], b = seedOff[r + 1];
+    I64 nSeeds = b - a;
+    int missed = 0, copy1 = 0, copy2 = 0, copyM = 0;
+    for (I64 t = a; t < b; ++t) {
+      U32 ix = sidx[t];
+      if (!ix) { ++missed; continue; }
+      switch (info[ix] & 3) {
+      case 1: ++copy1; break;
+      case 2: ++copy2; break;
+      case 3: ++copyM; break;
+      default: break;
+      }
+    }
+    const char *qid = qidsBlob + qidOff[r];
+    fprintf(fo, "Q\t%s\t%llu\t%d miss, %d copy1, %d copy2, %d multi, %.2f "
+                "hit\n",
+            qid, (unsigned long long)qlen[r], missed, copy1, copy2, copyM,
+            (nSeeds - missed) / (double)nSeeds);
+
+    U32 loc0 = 0, locN = 0;
+    I64 i0 = 0, iN = 0;
+    int n1 = 0, n2 = 0;
+
+    auto emitM = [&]() {
+      double denom = (locN > loc0) ? (double)(locN - loc0)
+                                   : (double)(loc0 - locN);
+      fprintf(fo, "M\t%s\t%d\t%d\t%d\t%s\t%d\t%d\t%d %d\t%.2f\t%.2f\n", qid,
+              (int)spos[a + i0], (int)spos[a + iN],
+              (int)(spos[a + iN] - spos[a + i0]),
+              namesBlob + nameOff[ids[loc0]], (int)offs[loc0],
+              (int)offs[locN], n1, n2, (n1 + n2) / denom,
+              n1 / (double)copy1);
+    };
+    auto blockTest = [&](U32 lv) -> bool {
+      if (ids[lv] != ids[loc0]) return true;
+      if (loc0 < locN) {
+        if (lv < locN) return true;
+        int d = (int)(locN - loc0 - (U32)(iN - i0));
+        if (d > 50 || d < -50) return true;
+      } else if (loc0 > locN) {
+        if (lv > locN) return true;
+        int d = (int)(loc0 - locN - (U32)(iN - i0));
+        if (d > 50 || d < -50) return true;
+      }
+      return false;
+    };
+
+    for (I64 i = 0; i < nSeeds; ++i) {
+      U32 ix = sidx[a + i];
+      if (!ix || (info[ix] & 3) == 3) continue;  // missed or copyM
+      I64 l1 = loc[ix] < revLen ? loc[ix] : revLen - 1;  // clamp (see .py)
+      U32 lv = rev[l1];
+      bool is1 = (info[ix] & 3) == 1;
+      if (isVerbose) {
+        if (is1)
+          fprintf(so, "  %6d\t%s %d\n", (int)spos[a + i],
+                  namesBlob + nameOff[ids[lv]], (int)offs[lv]);
+        else {
+          I64 l2 = loc[ix] + 1 < revLen ? loc[ix] + 1 : revLen - 1;
+          U32 lv2 = rev[l2];
+          fprintf(so, "  %6d\t%s %d\t%s %d\n", (int)spos[a + i],
+                  namesBlob + nameOff[ids[lv]], (int)offs[lv],
+                  namesBlob + nameOff[ids[lv2]], (int)offs[lv2]);
+        }
+      }
+      bool endBlock = (!loc0) || blockTest(lv);
+      if (endBlock && loc0 && !is1) {  // try the second occurrence
+        I64 l2 = loc[ix] + 1 < revLen ? loc[ix] + 1 : revLen - 1;
+        lv = rev[l2];
+        endBlock = blockTest(lv);
+      }
+      if (endBlock) {
+        if (n1 > 2) emitM();
+        n1 = 0;
+        n2 = 0;
+        loc0 = lv;
+        i0 = i;
+      }
+      if (is1) ++n1;
+      else ++n2;
+      locN = lv;
+      iN = i;
+    }
+    if (n2 > 2)  // final-block flush quirk (modmap.c:269)
+      emitM();
+  }
+  if (!same) fclose(fo);
+  fclose(so);
+}
