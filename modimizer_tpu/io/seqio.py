@@ -133,7 +133,40 @@ def sniff_type(first_byte: int) -> str:
 # ------------------------------------------------------------------
 
 
+def _split_hdr(data, s, e):
+    hdr = data[s:e]
+    for i, ch in enumerate(hdr):
+        if ch in (9, 32, 11, 12, 13):
+            return hdr[:i].decode("latin1"), hdr[i + 1:].decode("latin1")
+    return hdr.decode("latin1"), ""
+
+
 def _parse_fasta(data: bytes, convert: np.ndarray, want_ids: bool):
+    """FASTA parse in the native runtime (numpy twin below is the oracle;
+    this host's numpy is pathologically slow on byte-level ops)."""
+    from ..native import lib as native_lib
+    buf = np.frombuffer(data, np.uint8)
+    n = len(buf)
+    if n == 0:
+        return SeqBatch(np.zeros(0, np.int8), np.zeros(1, np.int64))
+    L = native_lib()
+    n_rec = L.io_fasta_count(buf, n)
+    conv = np.ascontiguousarray(_full256(convert), np.int16)
+    codes = np.empty(n, np.int8)
+    offsets = np.zeros(n_rec + 1, np.int64)
+    hdr = np.zeros(2 * max(n_rec, 1), np.int64)
+    nc = L.io_parse_fasta(buf, n, conv, codes, offsets, hdr)
+    codes = codes[:nc]
+    ids, descs = [], []
+    if want_ids:
+        for r in range(n_rec):
+            i_, d_ = _split_hdr(data, hdr[2 * r], hdr[2 * r + 1])
+            ids.append(i_)
+            descs.append(d_)
+    return SeqBatch(codes, offsets, ids, descs)
+
+
+def _parse_fasta_np(data: bytes, convert: np.ndarray, want_ids: bool):
     """Vectorized FASTA parse. Drops chars with negative conversion."""
     buf = np.frombuffer(data, np.uint8)
     if len(buf) == 0:
@@ -201,6 +234,37 @@ def _parse_fasta(data: bytes, convert: np.ndarray, want_ids: bool):
 
 def _parse_fastq(data: bytes, convert: np.ndarray, is_qual: bool,
                  want_ids: bool):
+    """FASTQ parse in the native runtime (4-line records; no dropping)."""
+    from ..native import lib as native_lib
+    buf = np.frombuffer(data, np.uint8)
+    n = len(buf)
+    L = native_lib()
+    n_rec = L.io_fastq_count(buf, n)
+    codes = np.empty(n, np.int8)
+    offsets = np.zeros(n_rec + 1, np.int64)
+    hdr = np.zeros(2 * max(n_rec, 1), np.int64)
+    quals = np.empty(n, np.int8) if is_qual else None
+    conv = (np.ascontiguousarray(_full256(convert), np.int16)
+            if convert is not None else None)
+    nc = L.io_parse_fastq(
+        buf, n, conv.ctypes.data if conv is not None else None,
+        int(is_qual), codes, offsets, hdr,
+        quals.ctypes.data if quals is not None else None)
+    if nc < 0:
+        raise ValueError("qual not same length as seq")
+    codes = codes[:nc]
+    ids, descs = [], []
+    if want_ids:
+        for r in range(n_rec):
+            i_, d_ = _split_hdr(data, hdr[2 * r], hdr[2 * r + 1])
+            ids.append(i_)
+            descs.append(d_)
+    return SeqBatch(codes, offsets, ids, descs,
+                    quals[:nc] if quals is not None else None)
+
+
+def _parse_fastq_np(data: bytes, convert: np.ndarray, is_qual: bool,
+                    want_ids: bool):
     """Vectorized FASTQ parse (4-line records; no dropping on convert)."""
     buf = np.frombuffer(data, np.uint8)
     nl_pos = np.flatnonzero(buf == ord("\n"))

@@ -29,7 +29,7 @@ def _build() -> Path:
     if not so.exists():
         tmp = so.with_suffix(f".tmp{os.getpid()}.so")
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
              "-o", str(tmp)] + [str(s) for s in srcs],
             check=True, capture_output=True)
         os.replace(tmp, so)
@@ -124,6 +124,21 @@ def _declare(L):
         fn.argtypes = [vp] + extra
 
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    L.sh_scan_emit.restype = c.c_int64
+    L.sh_scan_emit.argtypes = [u8p, c.c_int64, c.c_int, c.c_uint64,
+                               c.c_uint64, c.c_int, u64p, i64p, u8p,
+                               c.c_int64]
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    L.io_fasta_count.restype = c.c_int64
+    L.io_fasta_count.argtypes = [u8p, c.c_int64]
+    L.io_parse_fasta.restype = c.c_int64
+    L.io_parse_fasta.argtypes = [u8p, c.c_int64, i16p, i8p, i64p, i64p]
+    L.io_fastq_count.restype = c.c_int64
+    L.io_fastq_count.argtypes = [u8p, c.c_int64]
+    L.io_parse_fastq.restype = c.c_int64
+    L.io_parse_fastq.argtypes = [u8p, c.c_int64, c.c_void_p, c.c_int, i8p,
+                                 i64p, i64p, c.c_void_p]
     L.mm_query_emit.restype = None
     L.mm_query_emit.argtypes = [i64p, u32p, i64p, u8p, u32p, u32p, u32p,
                                 u32p, c.c_int64, c.c_char_p, i64p,

@@ -1652,3 +1652,168 @@ extern "C" void mm_query_emit(
   if (!same) fclose(fo);
   fclose(so);
 }
+
+// ------------------------------------------------------------------
+// host modimizer scan (rolling canonical hash, seqhash.c:60-79,154-196):
+// the fast path for CLIs when the device link is a slow dev tunnel.
+// OpenMP over (k-1)-overlapped chunks; per-chunk counts then a prefix
+// pass place emissions in exact stream order.
+// ------------------------------------------------------------------
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" I64 sh_scan_emit(const U8 *codes, I64 n, int k, U64 w, U64 factor1,
+                            int shift1, U64 *out_k, I64 *out_p, U8 *out_f,
+                            I64 cap) {
+  if (n < k) return 0;
+  I64 P = n - k + 1;
+  const U64 mask = (k < 32) ? ((((U64)1) << (2 * k)) - 1) : ~(U64)0;
+  const int rcShift = 2 * (k - 1);
+
+  const I64 CHUNK = 1 << 22;
+  I64 nChunks = (P + CHUNK - 1) / CHUNK;
+  std::vector<I64> counts(nChunks, 0);
+  std::vector<std::vector<U64>> ck(nChunks);
+  std::vector<std::vector<I64>> cp(nChunks);
+  std::vector<std::vector<U8>> cf(nChunks);
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (I64 c = 0; c < nChunks; ++c) {
+    I64 p0 = c * CHUNK;
+    I64 p1 = p0 + CHUNK < P ? p0 + CHUNK : P;
+    U64 h = 0, hrc = 0;
+    for (int j = 0; j < k; ++j) {
+      U64 b = codes[p0 + j];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    std::vector<U64> &vk = ck[c];
+    std::vector<I64> &vp = cp[c];
+    std::vector<U8> &vf = cf[c];
+    for (I64 p = p0;;) {
+      U64 hf = (h * factor1) >> shift1;
+      U64 hr = (hrc * factor1) >> shift1;
+      U64 hash = hf < hr ? hf : hr;
+      if (hash % w == 0) {
+        vk.push_back(hf < hr ? h : hrc);
+        vp.push_back(p);
+        vf.push_back(hf < hr ? 1 : 0);
+      }
+      if (++p >= p1) break;
+      U64 b = codes[p + k - 1];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    counts[c] = (I64)vk.size();
+  }
+
+  I64 total = 0;
+  for (I64 c = 0; c < nChunks; ++c) total += counts[c];
+  if (total > cap) return -total;
+  I64 off = 0;
+  for (I64 c = 0; c < nChunks; ++c) {
+    if (counts[c]) {
+      memcpy(out_k + off, ck[c].data(), counts[c] * sizeof(U64));
+      memcpy(out_p + off, cp[c].data(), counts[c] * sizeof(I64));
+      memcpy(out_f + off, cf[c].data(), counts[c] * sizeof(U8));
+      off += counts[c];
+    }
+  }
+  return total;
+}
+
+// ------------------------------------------------------------------
+// sequence-file parsing (seqio.c FASTA/FASTQ semantics): single-pass
+// native parsers; this host's numpy is pathologically slow on the
+// byte-level ops these need.
+// ------------------------------------------------------------------
+
+typedef int8_t I8;
+typedef int16_t I16;
+
+extern "C" I64 io_fasta_count(const U8 *d, I64 n) {
+  I64 cnt = 0;
+  for (I64 i = 0; i < n; ++i)
+    if (d[i] == '>' && (i == 0 || d[i - 1] == '\n')) ++cnt;
+  return cnt;
+}
+
+// codes: out I8[n]; offsets: out I64[nrec+1]; hdr: out I64[2*nrec]
+// (start,end of header text, '>' excluded).  Returns total code count.
+extern "C" I64 io_parse_fasta(const U8 *d, I64 n, const I16 *conv, I8 *codes,
+                              I64 *offsets, I64 *hdr) {
+  I64 nc = 0, rec = 0;
+  offsets[0] = 0;
+  I64 i = 0;
+  while (i < n) {
+    // record start: '>' at 0 or after newline (callers sniffed byte 0)
+    if (!(d[i] == '>' && (i == 0 || d[i - 1] == '\n'))) { ++i; continue; }
+    I64 start = i;
+    I64 he = start;
+    while (he < n && d[he] != '\n') ++he;
+    if (he > n - 1) he = n - 1;  // numpy parser clamp, kept for parity
+    hdr[2 * rec] = start + 1;
+    hdr[2 * rec + 1] = he;
+    I64 j = he + 1;
+    while (j < n && !(d[j] == '>' && d[j - 1] == '\n')) {
+      I16 c = conv[d[j]];
+      if (c >= 0) codes[nc++] = (I8)c;
+      ++j;
+    }
+    ++rec;
+    offsets[rec] = nc;
+    i = j;
+  }
+  return nc;
+}
+
+extern "C" I64 io_fastq_count(const U8 *d, I64 n) {
+  I64 nlines = 0;
+  for (I64 i = 0; i < n; ++i)
+    if (d[i] == '\n') ++nlines;
+  if (n && d[n - 1] != '\n') ++nlines;
+  return nlines / 4;
+}
+
+// Returns total codes, or -1 on qual length mismatch.
+extern "C" I64 io_parse_fastq(const U8 *d, I64 n, const I16 *conv,
+                              int isQual, I8 *codes, I64 *offsets, I64 *hdr,
+                              I8 *quals) {
+  I64 nc = 0, rec = 0;
+  offsets[0] = 0;
+  I64 ls[4], le[4];
+  I64 pos = 0;
+  while (pos < n) {
+    int li = 0;
+    I64 p = pos;
+    for (; li < 4 && p < n; ++li) {
+      ls[li] = p;
+      while (p < n && d[p] != '\n') ++p;
+      le[li] = p;
+      ++p;  // skip newline (virtual at EOF)
+    }
+    if (li < 4) break;
+    pos = p;
+    hdr[2 * rec] = ls[0] + 1;  // skip '@'
+    hdr[2 * rec + 1] = le[0];
+    I64 slen = le[1] - ls[1];
+    if (conv)
+      for (I64 t = ls[1]; t < le[1]; ++t) codes[nc++] = (I8)conv[d[t]];
+    else {
+      memcpy(codes + nc, d + ls[1], slen);
+      nc += slen;
+    }
+    if (isQual) {
+      if (le[3] - ls[3] != slen) return -1;
+      for (I64 t = 0; t < slen; ++t)
+        quals[offsets[rec] + t] = (I8)(d[ls[3] + t] - 33);
+    }
+    ++rec;
+    offsets[rec] = nc;
+  }
+  return nc;
+}

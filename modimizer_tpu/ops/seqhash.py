@@ -115,6 +115,30 @@ class ModimizerScanner:
 
     HOST_THRESHOLD = 1 << 21  # below this, a host scan beats device latency
 
+    @staticmethod
+    def default_host_threshold():
+        """Backend policy: on a real TPU the device path wins past ~2M
+        positions; behind the dev tunnel (platform 'axon') or on CPU-jax the
+        native OpenMP host scan is faster at any size.  Override with
+        MODIMIZER_SCAN=device|host."""
+        import os
+        mode = os.environ.get("MODIMIZER_SCAN", "auto")
+        if mode == "device":
+            return 0
+        if mode == "host":
+            return 1 << 62
+        # decide WITHOUT initializing the backend (jax.devices() would pay
+        # the tunnel connection cost and emit warnings in every CLI run)
+        hint = os.environ.get("JAX_PLATFORMS", "")
+        try:
+            import jax
+            hint = hint or (jax.config.jax_platforms or "")
+        except Exception:  # pragma: no cover
+            pass
+        if "tpu" in hint:
+            return ModimizerScanner.HOST_THRESHOLD
+        return 1 << 62  # axon tunnel / cpu / unknown: host scan wins
+
     def __init__(self, sh: Seqhash, chunk: int = DEFAULT_CHUNK,
                  want_isf: bool = True, host_threshold: int = None):
         self.sh = sh
@@ -126,8 +150,8 @@ class ModimizerScanner:
         self.cap = int(min(chunk, max(4096, 2 * chunk // sh.w)))
         self.want_isf = want_isf
         self.max_inflight = 4
-        self.host_threshold = (self.HOST_THRESHOLD if host_threshold is None
-                               else host_threshold)
+        self.host_threshold = (self.default_host_threshold()
+                               if host_threshold is None else host_threshold)
 
     def _dispatch(self, codes: np.ndarray, s: int, m: int):
         k = self.sh.k
@@ -185,19 +209,29 @@ class ModimizerScanner:
                 np.concatenate(out_f))
 
     def _scan_host(self, codes, offsets):
-        """Whole-stream host scan (numpy oracle) for small inputs, where a
-        single device dispatch's latency would dominate."""
+        """Whole-stream host scan via the native OpenMP rolling-hash kernel
+        (native/modasm_native.cpp sh_scan_emit)."""
+        from ..native import lib as native_lib
         sh = self.sh
-        out_k, out_p, out_f = [], [], []
         n = len(codes)
-        if n >= sh.k:
-            kms, hashes, isF = sh.scan(codes)
-            sel = (hashes % U64(sh.w)) == U64(0)
-            pos = np.nonzero(sel)[0].astype(np.int64)
-            ok, _ = _validity_filter(pos, offsets, sh.k)
-            return kms[sel][ok], pos[ok], isF[sel][ok]
-        return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
-                np.zeros(0, bool))
+        if n < sh.k:
+            return (np.zeros(0, np.uint64), np.zeros(0, np.int64),
+                    np.zeros(0, bool))
+        cap = max(4096, (n // sh.w) * 4 + 1024)
+        L = native_lib()
+        codes = np.ascontiguousarray(codes).view(np.uint8)
+        while True:
+            out_k = np.empty(cap, np.uint64)
+            out_p = np.empty(cap, np.int64)
+            out_f = np.empty(cap, np.uint8)
+            cnt = L.sh_scan_emit(codes, n, sh.k, sh.w, sh.factor1, sh.shift1,
+                                 out_k, out_p, out_f, cap)
+            if cnt >= 0:
+                break
+            cap = -cnt
+        ok, _ = _validity_filter(out_p[:cnt], offsets, sh.k)
+        return (out_k[:cnt][ok], out_p[:cnt][ok],
+                out_f[:cnt][ok].astype(bool))
 
     def _rescan_chunk(self, s, m, codes, offsets, out_k, out_p, out_f):
         """Rare overflow (cap exceeded, e.g. low-complexity repeats): redo

@@ -111,3 +111,42 @@ def test_seqhoco(data):
     ours = gzip.decompress(out)
     assert ours == ref_clean
     assert ours.decode() == ">h1\nACgTAcgtACGT\n>h2\nGA\n"
+
+
+def test_native_parsers_match_numpy_twins():
+    """The native FASTA/FASTQ parsers reproduce the numpy oracles exactly."""
+    import numpy as np
+    from modimizer_tpu.io import seqio as sq
+    rng = np.random.default_rng(17)
+    B = "ACGTNacgtn"
+    fa = []
+    for i in range(30):
+        seq = "".join(B[j] for j in rng.integers(0, len(B),
+                                                 rng.integers(0, 300)))
+        # multi-line bodies + descriptions
+        body = "\n".join(seq[k:k + 37] for k in range(0, max(len(seq), 1), 37))
+        fa.append(f">id{i} some desc {i}\n{body}")
+    data = ("\n".join(fa) + "\n").encode()
+    for conv in (sq.dna2textConv, sq.dna2index_n0()):
+        a = sq._parse_fasta(data, conv, True)
+        b = sq._parse_fasta_np(data, conv, True)
+        assert np.array_equal(a.codes, b.codes)
+        assert np.array_equal(a.offsets, b.offsets)
+        assert a.ids == b.ids and a.descs == b.descs
+    # fastq
+    fq = []
+    for i in range(25):
+        n = int(rng.integers(1, 200))
+        seq = "".join("ACGT"[j] for j in rng.integers(0, 4, n))
+        q = "".join(chr(33 + int(x)) for x in rng.integers(0, 40, n))
+        fq.append(f"@q{i} d{i}\n{seq}\n+\n{q}\n")
+    data = "".join(fq).encode()
+    for conv in (None, sq.dna2index_n0()):
+        for isq in (False, True):
+            a = sq._parse_fastq(data, conv, isq, True)
+            b = sq._parse_fastq_np(data, conv, isq, True)
+            assert np.array_equal(a.codes, b.codes)
+            assert np.array_equal(a.offsets, b.offsets)
+            assert a.ids == b.ids and a.descs == b.descs
+            if isq:
+                assert np.array_equal(a.quals, b.quals)
