@@ -81,8 +81,11 @@ def add_sequence_file(ms: Modset, scanner: ModimizerScanner, filename,
         codes = np.concatenate(parts) if parts else np.zeros(0, np.int8)
         offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
 
-    import jax
-    if (len(codes) >= DEVICE_COUNT_THRESHOLD
+    # device-resident counting only pays off on directly-attached TPU
+    # hardware; behind the dev tunnel or on CPU-jax the native host path wins
+    use_device = ("tpu" in ModimizerScanner.platform_hint()
+                  or os.environ.get("MODIMIZER_SCAN") == "device")
+    if (use_device and len(codes) >= DEVICE_COUNT_THRESHOLD
             and not os.environ.get("MODIMIZER_NO_DEVICE_COUNT")):
         from ..parallel.sharded import ShardedModsetBuilder, build_mesh
         builder = ShardedModsetBuilder(ms.hasher, build_mesh())

@@ -128,6 +128,10 @@ def _declare(L):
     L.sh_scan_emit.argtypes = [u8p, c.c_int64, c.c_int, c.c_uint64,
                                c.c_uint64, c.c_int, u64p, i64p, u8p,
                                c.c_int64]
+    L.sh_scan_emit_reads.restype = c.c_int64
+    L.sh_scan_emit_reads.argtypes = [u8p, i64p, c.c_int64, c.c_int,
+                                     c.c_uint64, c.c_uint64, c.c_int, u64p,
+                                     i64p, u8p, c.c_int64]
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     L.io_fasta_count.restype = c.c_int64

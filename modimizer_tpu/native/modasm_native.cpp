@@ -1817,3 +1817,63 @@ extern "C" I64 io_parse_fastq(const U8 *d, I64 n, const I16 *conv,
   }
   return nc;
 }
+
+// Boundary-aware variant: emits only k-mers fully inside one read, in
+// stream order, with global positions — subsumes the host-side validity
+// filter.  OpenMP over reads (guided: read lengths vary).
+extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
+                                  I64 nReads, int k, U64 w, U64 factor1,
+                                  int shift1, U64 *out_k, I64 *out_p,
+                                  U8 *out_f, I64 cap) {
+  const U64 mask = (k < 32) ? ((((U64)1) << (2 * k)) - 1) : ~(U64)0;
+  const int rcShift = 2 * (k - 1);
+  std::vector<I64> counts((size_t)nReads, 0);
+  std::vector<std::vector<U64>> ck((size_t)nReads);
+  std::vector<std::vector<I64>> cp((size_t)nReads);
+  std::vector<std::vector<U8>> cf((size_t)nReads);
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(guided)
+#endif
+  for (I64 r = 0; r < nReads; ++r) {
+    I64 s0 = offsets[r], s1 = offsets[r + 1];
+    if (s1 - s0 < k) continue;
+    U64 h = 0, hrc = 0;
+    for (int j = 0; j < k; ++j) {
+      U64 b = codes[s0 + j];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    std::vector<U64> &vk = ck[r];
+    std::vector<I64> &vp = cp[r];
+    std::vector<U8> &vf = cf[r];
+    for (I64 p = s0;;) {
+      U64 hf = (h * factor1) >> shift1;
+      U64 hr = (hrc * factor1) >> shift1;
+      U64 hash = hf < hr ? hf : hr;
+      if (hash % w == 0) {
+        vk.push_back(hf < hr ? h : hrc);
+        vp.push_back(p);
+        vf.push_back(hf < hr ? 1 : 0);
+      }
+      if (p + k >= s1) break;
+      U64 b = codes[p + k];
+      ++p;
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    counts[r] = (I64)vk.size();
+  }
+  I64 total = 0;
+  for (I64 r = 0; r < nReads; ++r) total += counts[r];
+  if (total > cap) return -total;
+  I64 off = 0;
+  for (I64 r = 0; r < nReads; ++r)
+    if (counts[r]) {
+      memcpy(out_k + off, ck[r].data(), counts[r] * sizeof(U64));
+      memcpy(out_p + off, cp[r].data(), counts[r] * sizeof(I64));
+      memcpy(out_f + off, cf[r].data(), counts[r] * sizeof(U8));
+      off += counts[r];
+    }
+  return total;
+}

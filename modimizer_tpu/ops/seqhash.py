@@ -116,6 +116,18 @@ class ModimizerScanner:
     HOST_THRESHOLD = 1 << 21  # below this, a host scan beats device latency
 
     @staticmethod
+    def platform_hint():
+        """Configured jax platform WITHOUT initializing the backend."""
+        import os
+        hint = os.environ.get("JAX_PLATFORMS", "")
+        try:
+            import jax
+            hint = hint or (jax.config.jax_platforms or "")
+        except Exception:  # pragma: no cover
+            pass
+        return hint
+
+    @staticmethod
     def default_host_threshold():
         """Backend policy: on a real TPU the device path wins past ~2M
         positions; behind the dev tunnel (platform 'axon') or on CPU-jax the
@@ -129,12 +141,7 @@ class ModimizerScanner:
             return 1 << 62
         # decide WITHOUT initializing the backend (jax.devices() would pay
         # the tunnel connection cost and emit warnings in every CLI run)
-        hint = os.environ.get("JAX_PLATFORMS", "")
-        try:
-            import jax
-            hint = hint or (jax.config.jax_platforms or "")
-        except Exception:  # pragma: no cover
-            pass
+        hint = ModimizerScanner.platform_hint()
         if "tpu" in hint:
             return ModimizerScanner.HOST_THRESHOLD
         return 1 << 62  # axon tunnel / cpu / unknown: host scan wins
@@ -210,7 +217,8 @@ class ModimizerScanner:
 
     def _scan_host(self, codes, offsets):
         """Whole-stream host scan via the native OpenMP rolling-hash kernel
-        (native/modasm_native.cpp sh_scan_emit)."""
+        (native/modasm_native.cpp sh_scan_emit_reads) — read-boundary-aware,
+        so no separate validity pass is needed."""
         from ..native import lib as native_lib
         sh = self.sh
         n = len(codes)
@@ -220,18 +228,18 @@ class ModimizerScanner:
         cap = max(4096, (n // sh.w) * 4 + 1024)
         L = native_lib()
         codes = np.ascontiguousarray(codes).view(np.uint8)
+        offsets = np.ascontiguousarray(offsets, np.int64)
         while True:
             out_k = np.empty(cap, np.uint64)
             out_p = np.empty(cap, np.int64)
             out_f = np.empty(cap, np.uint8)
-            cnt = L.sh_scan_emit(codes, n, sh.k, sh.w, sh.factor1, sh.shift1,
-                                 out_k, out_p, out_f, cap)
+            cnt = L.sh_scan_emit_reads(codes, offsets, len(offsets) - 1,
+                                       sh.k, sh.w, sh.factor1, sh.shift1,
+                                       out_k, out_p, out_f, cap)
             if cnt >= 0:
                 break
             cap = -cnt
-        ok, _ = _validity_filter(out_p[:cnt], offsets, sh.k)
-        return (out_k[:cnt][ok], out_p[:cnt][ok],
-                out_f[:cnt][ok].astype(bool))
+        return (out_k[:cnt], out_p[:cnt], out_f[:cnt].astype(bool))
 
     def _rescan_chunk(self, s, m, codes, offsets, out_k, out_p, out_f):
         """Rare overflow (cap exceeded, e.g. low-complexity repeats): redo
