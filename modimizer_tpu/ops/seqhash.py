@@ -37,50 +37,39 @@ U64 = np.uint64
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "n_blocks", "bo",
-                                    "cap"))
-def _scan_chunk(sw, m, *, k, w, factor1, n_blocks, bo, cap):
-    """Packed-stream scan of C = n_blocks*BLOCK positions.
+                   static_argnames=("k", "w", "factor1", "cap"))
+def _scan_chunk(sw, m, *, k, w, factor1, cap):
+    """Packed-stream scan of C positions (C = 32*(len(sw)-1)).
 
-    sw: u64 [C/32 + 1] (halo word).  m: i32 scalar live-position count.
-    Returns (kmers u64 [cap], meta u64 [cap] = (gpos << 1) | isF, total i32).
-    Matches beyond cap are dropped (total reports the true count so the
-    caller can fall back); per-block overflow beyond ``bo`` is detected the
-    same way since counts are summed from the un-truncated emit mask.
+    Emitted rows are compacted by ONE unstable 3-column sort whose key embeds
+    the stream position (emitted-first), so the compacted rows come out in
+    exact stream order with no gathers (TPU gathers serialize; sorts move
+    payload columns at memory speed).
+
+    sw: u64 [C/32 + 1] (halo word).  m: i32 live-position count.
+    Returns (kmers u64 [cap], meta u64 [cap] = (pos << 1) | isF, total i32).
+    Rows beyond cap are dropped; total reports the true count so the caller
+    can fall back to a host rescan.
     """
-    C = n_blocks * BLOCK
+    C = 32 * (sw.shape[0] - 1)
     tw = derive_tw(sw)
     h, hrc = extract_kmers(sw, tw, k, C)
     hashes, kmers, isF = canonical_hashes(h, hrc, k, factor1)
-    emit = (hashes % jnp.uint64(w)) == jnp.uint64(0)
-
-    # stage 1: blockwise top_k compaction
-    e2 = emit.reshape(n_blocks, BLOCK)
-    pos_in_block = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 1)
-    gpos = (jax.lax.broadcasted_iota(jnp.int32, (n_blocks, BLOCK), 0) *
-            BLOCK + pos_in_block)
-    live = gpos < m
-    e2 &= live
-    key = jnp.where(e2, jnp.int32(BLOCK) - pos_in_block, jnp.int32(-1))
-    vals, idx = jax.lax.top_k(key, bo)             # ascending position order
-    kk = jnp.take_along_axis(kmers.reshape(n_blocks, BLOCK), idx, axis=1)
-    ff = jnp.take_along_axis(isF.reshape(n_blocks, BLOCK), idx, axis=1)
-    bpos = (jax.lax.broadcasted_iota(jnp.int32, (n_blocks, bo), 0) * BLOCK
-            + idx)
-    real = vals > 0                                 # emitted slots
-
-    # stage 2: squeeze to a dense [cap] list by sorting on position
-    sort_key = jnp.where(real, bpos, jnp.int32(2 ** 31 - 1)).reshape(-1)
-    meta = ((jnp.uint64(2) * bpos.reshape(-1).astype(jnp.uint64))
-            | ff.reshape(-1).astype(jnp.uint64))
-    skey, km_s, meta_s = jax.lax.sort(
-        (sort_key, kk.reshape(-1), meta), num_keys=1)
-    total = jnp.sum(e2).astype(jnp.int32)
-    # any per-block overflow (count > bo) lost matches in stage 1: force the
-    # caller's host-rescan fallback by reporting an impossible total
-    blk_over = jnp.any(jnp.sum(e2, axis=1) > bo)
-    total = jnp.where(blk_over, jnp.int32(2 ** 31 - 1), total)
-    return km_s[:cap], meta_s[:cap], total
+    pos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
+    emit = ((hashes % jnp.uint64(w)) == jnp.uint64(0)) & (pos < m)
+    khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    meta32 = ((pos.astype(jnp.uint32) << jnp.uint32(1))
+              | isF.astype(jnp.uint32))
+    keypos = jnp.where(emit, pos.astype(jnp.uint32),
+                       pos.astype(jnp.uint32) | jnp.uint32(0x80000000))
+    _sk, shi, slo, sm = jax.lax.sort((keypos, khi, klo, meta32), num_keys=1,
+                                     is_stable=False)
+    total = jnp.sum(emit).astype(jnp.int32)
+    out_k = ((shi[:cap].astype(jnp.uint64) << jnp.uint64(32))
+             | slo[:cap].astype(jnp.uint64))
+    out_m = sm[:cap].astype(jnp.uint64)
+    return out_k, out_m, total
 
 
 def _validity(offsets: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -151,9 +140,6 @@ class ModimizerScanner:
         self.sh = sh
         chunk = max(BLOCK, (chunk // BLOCK) * BLOCK)
         self.chunk = chunk
-        self.n_blocks = chunk // BLOCK
-        mean = BLOCK / sh.w
-        self.bo = int(min(BLOCK, max(128, 4 * mean)))
         self.cap = int(min(chunk, max(4096, 2 * chunk // sh.w)))
         self.want_isf = want_isf
         self.max_inflight = 4
@@ -168,8 +154,7 @@ class ModimizerScanner:
         sw = pack_sw(seg, NW + 1)
         return _scan_chunk(
             jnp.asarray(sw), jnp.int32(m),
-            k=k, w=self.sh.w, factor1=self.sh.factor1,
-            n_blocks=self.n_blocks, bo=self.bo, cap=self.cap)
+            k=k, w=self.sh.w, factor1=self.sh.factor1, cap=self.cap)
 
     def scan_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """codes: uint8/int8 [N] (values 0..3), offsets: int64 [n_reads+1]."""
