@@ -54,11 +54,12 @@ def make_data() -> Path:
     return fa
 
 
-def c_baseline(fa: Path) -> float:
+def c_baseline(fa: Path):
     """kmer positions/sec for the reference modutils -a (single core)."""
     cache = BENCH_DIR / (fa.name + ".c_rate.json")
     if cache.exists():
-        return json.loads(cache.read_text())["rate"]
+        d = json.loads(cache.read_text())
+        return d["rate"], d.get("entries", 0)
     from tests.golden.harness import build_tool
     exe = build_tool("modutils")
     log("running C baseline ...")
@@ -68,6 +69,8 @@ def c_baseline(fa: Path) -> float:
     m = re.search(r"added (\d+) sequences total length (\d+) total hashes (\d+)",
                   r.stdout)
     n_seq, tot_len = int(m.group(1)), int(m.group(2))
+    me = re.search(r"new max (\d+)", r.stdout)
+    entries = int(me.group(1)) if me else 0
     positions = tot_len - (K - 1) * n_seq
     # the rusage line following the 'added' summary is the -a command's cost
     tail = r.stdout[m.end():]
@@ -75,12 +78,13 @@ def c_baseline(fa: Path) -> float:
     secs = float(t.group(1)) + float(t.group(2))
     rate = positions / secs
     cache.write_text(json.dumps({"rate": rate, "secs": secs,
-                                 "positions": positions}))
+                                 "positions": positions,
+                                 "entries": entries}))
     log(f"C baseline: {positions} positions in {secs:.2f}s = {rate/1e6:.1f} M/s")
-    return rate
+    return rate, entries
 
 
-def tpu_rate(fa: Path) -> float:
+def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     """Chip throughput: the sharded build step on device-resident data
     (kmers/s/chip — hashing + modimizer filter + count-merge).  The full
     host-to-.mod pipeline is also run and logged for context."""
@@ -103,6 +107,7 @@ def tpu_rate(fa: Path) -> float:
                                     is_qual=False, want_ids=False)
     t_parse = time.perf_counter()
     builder = ShardedModsetBuilder(sh, mesh, state_size=1 << 24,
+                                   chunk_per_dev=1 << 24,
                                    max_buffer_rows=1 << 25)
     builder.feed_stream(batch.codes, batch.offsets)
     t_feed = time.perf_counter()
@@ -118,6 +123,11 @@ def tpu_rate(fa: Path) -> float:
         f"finalize+table {t1-t_feed:.2f}s total {t1-t0:.2f}s -> "
         f"{e2e/1e6:.1f} Mkmers/s; {builder.total_emitted} kmers, "
         f"{ms.max} unique")
+    if c_entries and ms.max != c_entries:
+        raise RuntimeError(
+            f"TPU build diverged from C: {ms.max} unique vs {c_entries}")
+    if c_entries:
+        log(f"cross-check vs C: {ms.max} == {c_entries} entries OK")
 
     # ---- chip rate: dependency-chained steps on resident data ----
     # (block_until_ready does not actually synchronize under the axon
@@ -125,7 +135,7 @@ def tpu_rate(fa: Path) -> float:
     # chain's final scalar is pulled to host)
     from modimizer_tpu.ops.packed import pack_bits, pack_sw
     from modimizer_tpu.parallel.sharded import _scan_compact_local
-    b2 = ShardedModsetBuilder(sh, mesh)
+    b2 = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 24)
     C = b2.chunk
     codes = np.ascontiguousarray(batch.codes[:C + K - 1]).view(np.uint8)
     sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
@@ -155,8 +165,8 @@ def tpu_rate(fa: Path) -> float:
 
 def main():
     fa = make_data()
-    ours = tpu_rate(fa)
-    base = c_baseline(fa)
+    base, c_entries = c_baseline(fa)
+    ours = tpu_rate(fa, c_entries)
     print(json.dumps({"metric": "modset_build_kmer_throughput",
                       "value": round(ours, 1),
                       "unit": "kmers/s",

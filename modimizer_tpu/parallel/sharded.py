@@ -137,21 +137,27 @@ def sort_u64_with_payload(keys, *payloads):
 # ------------------------------------------------------------------
 
 
-BLK = 4096  # block size for the n=1 top_k compaction fast path
+BLK = 512  # positions per one-hot compaction block (n=1 path)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "factor1", "C", "bo"))
 def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
-    """Single-device scan step: one unstable 3-column sort compacts the
-    emitted rows (the emitted-first key embeds the stream position, so the
-    compacted rows come out in stream order and the position IS the key —
-    gather-free, which matters because TPU gathers cost ~30 ns/row while
-    sorts move payload columns at memory speed).
+    """Single-device scan step with MXU compaction.
 
-    bo = output rows per BLK positions; E = C/BLK*bo total output rows.
-    Returns (kmers u64 [E], local pos u32 [E], n_emit, overflow)."""
-    E = (C // BLK) * bo
+    Per BLK-block, emitted rows are compacted by a one-hot matmul on the
+    matrix unit: the 12 8-bit limbs of (kmer, position) ride as float
+    columns — 8-bit values stay exact even through the MXU's bf16 default
+    multiply path, and each output cell is one product — and the one-hot
+    selection matrix comes from an in-block cumsum.  This is 2.6x faster
+    than a global sort and ~40x faster than top_k + gathers on v5e — TPU
+    has no vector scatter, so compaction must be expressed as dense
+    algebra.
+
+    bo = output rows per BLK positions (block overflow flagged).  Returns
+    (kmers u64 [C/BLK*bo] block-major with sentinel padding, local pos u32,
+    n_emit, overflow)."""
+    nb = C // BLK
     tw = derive_tw(sw)
     h, hrc = extract_kmers(sw, tw, k, C)
     hashes, kmers, _isF = canonical_hashes(h, hrc, k, factor1)
@@ -159,16 +165,41 @@ def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
     emit = valid & ((hashes % jnp.uint64(w)) == jnp.uint64(0))
     khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    pos = jnp.arange(C, dtype=jnp.uint32)
-    keypos = jnp.where(emit, pos, pos | jnp.uint32(0x80000000))
-    sk, shi, slo = jax.lax.sort((keypos, khi, klo), num_keys=1,
-                                is_stable=False)
-    n_emit = jnp.sum(emit)
-    rowid = jnp.arange(E, dtype=jnp.uint32)
-    live = rowid < n_emit
-    out_k = jnp.where(live, _join64(shi[:E], slo[:E]), U64_SENTINEL)
-    out_p = jnp.where(live, sk[:E], jnp.uint32(0xFFFFFFFF))
-    return out_k, out_p, n_emit.astype(jnp.int64), n_emit > E
+    pos = jax.lax.broadcasted_iota(jnp.uint32, (C, 1), 0)[:, 0]
+    # limb count scales with k: a kmer is 2k bits (khi limbs drop out for
+    # k <= 16), positions are 32-bit
+    n_khi = (2 * k - 32 + 7) // 8 if k > 16 else 0
+    limbs = [(khi >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+             for i in reversed(range(n_khi))]
+    limbs += [(v >> jnp.uint32(sh_)) & jnp.uint32(0xFF)
+              for v in (klo, pos) for sh_ in (24, 16, 8, 0)]
+    cols = jnp.stack(limbs, axis=1).astype(jnp.float32)
+    e2 = emit.reshape(nb, BLK)
+    dest = jnp.cumsum(e2.astype(jnp.int32), axis=1) - 1
+    dest = jnp.where(e2, dest, -1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
+    onehot = (dest[:, None, :] == slots).astype(jnp.float32)
+    ncols = len(limbs)
+    out = jax.lax.dot_general(onehot, cols.reshape(nb, BLK, ncols),
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    cnts = jnp.sum(e2, axis=1)
+    o = out.astype(jnp.uint32)
+
+    def u32_of(i, nl=4):
+        v = o[:, :, i]
+        for t in range(1, nl):
+            v = (v << 8) | o[:, :, i + t]
+        return v
+
+    okhi = u32_of(0, n_khi) if n_khi else jnp.zeros_like(o[:, :, 0])
+    okmer = _join64(okhi, u32_of(n_khi))
+    opos = u32_of(n_khi + 4)
+    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, opos, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    n_emit = jnp.sum(emit).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
 
 @functools.partial(jax.jit,
