@@ -353,6 +353,11 @@ class ShardedModsetBuilder:
         self.total_emitted = 0
         self._pending = []  # (inputs, base, out) awaiting overflow check
 
+    def _fetch(self, x):
+        """Materialize a (possibly sharded) array on the host; the
+        multi-host subclass overrides this with a process_allgather."""
+        return np.asarray(x)
+
     def _recv_rows(self):
         if self.n == 1:
             return (self.chunk // BLK) * self.bo
@@ -412,9 +417,9 @@ class ShardedModsetBuilder:
                                       *(self.recv_k + self.recv_p),
                                       S=self.S, n_recv=len(self.recv_k),
                                       mesh=self.mesh)
-            if not bool(np.any(np.asarray(out[4]))):
+            if not bool(np.any(self._fetch(out[4]))):
                 break
-            need = int(np.asarray(out[3]).max())
+            need = int(self._fetch(out[3]).max())
             new_s = self.S * 2
             while new_s < need:
                 new_s *= 2
@@ -428,10 +433,10 @@ class ShardedModsetBuilder:
     def _check_pending(self, force=False, window=4):
         while self._pending and (force or len(self._pending) > window):
             inputs, base, out = self._pending.pop(0)
-            if bool(np.any(np.asarray(out[3 if self.n == 1 else 3]))):
+            if bool(np.any(self._fetch(out[3]))):
                 self._replay_overflow((inputs, base))
                 continue
-            self.total_emitted += int(np.asarray(out[2]).sum())
+            self.total_emitted += int(self._fetch(out[2]).sum())
 
     def _replay_overflow(self, first):
         """A chunk overflowed its routing capacity (low-complexity input):
@@ -446,11 +451,11 @@ class ShardedModsetBuilder:
         for inputs, base in replay:
             while True:
                 out = self._route(inputs)
-                if not bool(np.any(np.asarray(out[3]))):
+                if not bool(np.any(self._fetch(out[3]))):
                     break
                 self._widen()
             self._append(out, base)
-            self.total_emitted += int(np.asarray(out[2]).sum())
+            self.total_emitted += int(self._fetch(out[2]).sum())
 
     def feed_stream(self, codes: np.ndarray, offsets: np.ndarray,
                     base: int = 0):

@@ -159,3 +159,25 @@ def test_readtext_roundtrip(data):
     assert code == 0
     assert (d / "cdir2/rt.mod").read_bytes() == (d / "pydir2/rt.mod").read_bytes()
     assert strip_timing(r.stdout.decode()) == strip_timing(out)
+
+
+def test_10x_barcode_skip(tmp_path):
+    """-x: odd records skip a 23bp barcode (modutils.c:44)."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    B = np.array(list("ACGT"))
+    fq = tmp_path / "x.fq"
+    with open(fq, "w") as f:
+        for i in range(30):
+            n = int(rng.integers(40, 200))
+            seq = "".join(B[rng.integers(0, 4, n)])
+            q = "I" * n
+            f.write(f"@x{i}\n{seq}\n+\n{q}\n")
+    r = harness.run_tool("modutils", ["-c", "20", "16", "16", "17",
+                                      "-x", str(fq), "-w",
+                                      str(tmp_path / "c.mod")])
+    code, out, err = run_ours(["-c", "20", "16", "16", "17",
+                               "-x", str(fq), "-w", str(tmp_path / "p.mod")])
+    assert code == 0
+    assert strip_timing(r.stdout.decode()) == strip_timing(out)
+    assert (tmp_path / "c.mod").read_bytes() == (tmp_path / "p.mod").read_bytes()
