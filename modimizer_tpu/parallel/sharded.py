@@ -140,9 +140,7 @@ def sort_u64_with_payload(keys, *payloads):
 BLK = 512  # positions per one-hot compaction block (n=1 path)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "C", "bo"))
-def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
+def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
     """Single-device scan step with MXU compaction.
 
     Per BLK-block, emitted rows are compacted by a one-hot matmul on the
@@ -200,6 +198,25 @@ def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
     out_p = jnp.where(live, opos, jnp.uint32(0xFFFFFFFF)).reshape(-1)
     n_emit = jnp.sum(emit).astype(jnp.int64)
     return out_k, out_p, n_emit, jnp.any(cnts > bo)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "C", "bo"))
+def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
+    return _scan_compact_core(sw, vbits, k=k, w=w, factor1=factor1, C=C,
+                              bo=bo)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "C", "bo"))
+def _scan_compact_local_packed(buf, *, k, w, factor1, C, bo):
+    """Single-transfer variant: buf = [sw (C/32+2) | vb (C/64)] u64 — the
+    dev tunnel charges a large fixed cost per host->device transfer, so the
+    builder ships one buffer per step."""
+    NW = C // 32
+    sw = buf[:NW + 2]
+    vb = buf[NW + 2:NW + 2 + C // 64]
+    return _scan_compact_core(sw, vb, k=k, w=w, factor1=factor1, C=C, bo=bo)
 
 
 @functools.partial(jax.jit,
@@ -385,6 +402,10 @@ class ShardedModsetBuilder:
     def _route(self, inputs):
         sh = self.sh
         if self.n == 1:
+            if len(inputs) == 1:  # packed single-transfer path
+                return _scan_compact_local_packed(
+                    inputs[0], k=sh.k, w=sh.w, factor1=sh.factor1,
+                    C=self.chunk, bo=self.bo)
             sw, vb, _gpos = inputs
             return _scan_compact_local(sw[0], vb[0], k=sh.k, w=sh.w,
                                        factor1=sh.factor1, C=self.chunk,
@@ -480,10 +501,14 @@ class ShardedModsetBuilder:
                 sw[d] = pack_sw(seg, NW + 2)
                 m = min(C, n_total - st)
                 vb[d] = pack_bits(valid_all[st:st + m], C // 64)
-            gpos = jnp.asarray(
-                np.uint64(base + s) +
-                np.arange(self.n, dtype=np.uint64) * np.uint64(C))
-            inputs = (jnp.asarray(sw), jnp.asarray(vb), gpos)
+            if self.n == 1:
+                inputs = (jnp.asarray(
+                    np.concatenate([sw[0], vb[0]])),)
+            else:
+                gpos = jnp.asarray(
+                    np.uint64(base + s) +
+                    np.arange(self.n, dtype=np.uint64) * np.uint64(C))
+                inputs = (jnp.asarray(sw), jnp.asarray(vb), gpos)
             out = self._route(inputs)
             if self._buffered_rows() + self._recv_rows() > self.max_buffer_rows:
                 self._compact()
