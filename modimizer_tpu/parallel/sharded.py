@@ -171,12 +171,14 @@ def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
              for i in reversed(range(n_khi))]
     limbs += [(v >> jnp.uint32(sh_)) & jnp.uint32(0xFF)
               for v in (klo, pos) for sh_ in (24, 16, 8, 0)]
-    cols = jnp.stack(limbs, axis=1).astype(jnp.float32)
+    # bf16 operands: 8-bit limbs and 0/1 one-hots are exact in bf16, the MXU
+    # accumulates in f32, and halving operand bytes halves HBM traffic
+    cols = jnp.stack(limbs, axis=1).astype(jnp.bfloat16)
     e2 = emit.reshape(nb, BLK)
     dest = jnp.cumsum(e2.astype(jnp.int32), axis=1) - 1
     dest = jnp.where(e2, dest, -1)
     slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
-    onehot = (dest[:, None, :] == slots).astype(jnp.float32)
+    onehot = (dest[:, None, :] == slots).astype(jnp.bfloat16)
     ncols = len(limbs)
     out = jax.lax.dot_general(onehot, cols.reshape(nb, BLK, ncols),
                               (((2,), (1,)), ((0,), (0,))),
