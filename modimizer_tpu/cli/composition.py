@@ -1,6 +1,5 @@
 """composition: sequence-file statistics (reference: composition.c)."""
 
-import math
 import sys
 
 import numpy as np

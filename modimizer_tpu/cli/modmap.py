@@ -16,7 +16,7 @@ from ..core.seqhash import Seqhash
 from ..io import seqio
 from ..ops.seqhash import ModimizerScanner
 from ..utils.timers import Timer
-from .common import Args, OutFile, die, finish
+from .common import Args, OutFile, die
 
 
 def usage(params, num_threads):
@@ -40,7 +40,6 @@ def query_process(ref: Reference, filename, out, is_verbose):
     """queryProcess (modmap.c:188-281): seeding batched on TPU + host table
     lookup; the greedy colinear chaining automaton and Q/M emission run in
     the native runtime (mm_query_emit)."""
-    import ctypes
     ms = ref.ms
     try:
         batch, _t = seqio.read_seq_file(filename, seqio.dna2index_n0(),

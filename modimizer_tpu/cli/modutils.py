@@ -13,7 +13,6 @@ import numpy as np
 from ..core.modset import Modset
 from ..core.seqhash import Seqhash
 from ..io import seqio
-from ..io.fzio import read_maybe_gz
 from ..ops.seqhash import ModimizerScanner
 from ..utils.timers import Timer
 from .common import Args, OutFile, die, finish

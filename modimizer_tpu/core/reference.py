@@ -9,8 +9,6 @@ argsort (occurrence order within each mod, exactly like referencePack's
 two-pass build at modmap.c:74-91).
 """
 
-import sys
-
 import numpy as np
 
 from ..io import seqio

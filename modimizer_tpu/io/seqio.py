@@ -19,7 +19,6 @@ Behavioral parity notes (all against seqio.c):
   reference-written files correctly.
 """
 
-import io as _io
 import os
 from dataclasses import dataclass, field
 

@@ -15,12 +15,10 @@ Host-local data enters the global arrays with
 """
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .sharded import (POS_INF, U64_SENTINEL, ShardedModsetBuilder,
-                      build_mesh)
+from .sharded import ShardedModsetBuilder
 
 
 def initialize(coordinator: str, num_processes: int, process_id: int,
