@@ -744,7 +744,7 @@ extern "C" void rs_test_mods(RSView *v, int minDepth, int maxDepth) {
   Sinks s = sinksOpen(v);
   if (!v->miFlags) die("need to run -R first");
   int RUN = ++g_testRun;
-  char yName[16], zName[16];
+  char yName[24], zName[24];
   snprintf(yName, sizeof yName, "YY-TEST%d", RUN);
   snprintf(zName, sizeof zName, "ZZ-TEST%d", RUN);
   FILE *yFile = fopen(yName, "w");

@@ -181,3 +181,38 @@ def test_10x_barcode_skip(tmp_path):
     assert code == 0
     assert strip_timing(r.stdout.decode()) == strip_timing(out)
     assert (tmp_path / "c.mod").read_bytes() == (tmp_path / "p.mod").read_bytes()
+
+
+def test_documented_workflow(tmp_path):
+    """The canonical workflow from the reference usage text
+    (modutils.c:100-107): build two modsets, merge, histogram, prune,
+    set copy thresholds, cross-depth report.
+
+    NB data is sized so each modset exceeds 128K entries: the reference's
+    modsetMerge reads uninitialized depth/info for newly-added entries
+    (modset.c:117-125 after resize), deterministic only when the resized
+    arrays are fresh mmaps (>= 128KB each)."""
+    d = tmp_path
+    random_fasta(str(d / "a.fa"), 400, 7000, seed=41, genome_len=2_500_000)
+    random_fasta(str(d / "b.fa"), 400, 7000, seed=42, genome_len=2_500_000)
+    for src, stem in (("a.fa", "wa"), ("b.fa", "wb")):
+        harness.run_tool("modutils", ["-c", "20", "16", "16", "17",
+                                      "-a", str(d / src),
+                                      "-w", str(d / (stem + ".mod"))])
+    import gzip
+    for stem in ("wa", "wb"):
+        (d / (stem + "_plain.mod")).write_bytes(
+            gzip.decompress((d / (stem + ".mod")).read_bytes()))
+    argv = ["-r", str(d / "wa.mod"), "-m", str(d / "wb_plain.mod"),
+            "-H", str(d / "{}.his"), "-p", "2", "80",
+            "-s", "2", "5", "40", "-d", str(d / "{}.dep"),
+            str(d / "wa_plain.mod"), str(d / "wb_plain.mod"),
+            "-w", str(d / "{}.out.mod")]
+    r = harness.run_tool("modutils",
+                         [a.replace("{}", "c") for a in argv])
+    code, out, err = run_ours([a.replace("{}", "p") for a in argv])
+    assert code == 0
+    assert strip_timing(r.stdout.decode()) == strip_timing(out)
+    for suffix in (".his", ".dep", ".out.mod"):
+        assert (d / ("c" + suffix)).read_bytes() == \
+            (d / ("p" + suffix)).read_bytes(), suffix
