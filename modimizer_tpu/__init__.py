@@ -25,21 +25,33 @@ os.environ.setdefault(
     "NPY_DISABLE_CPU_FEATURES",
     "AVX512F AVX512CD AVX512_SKX AVX512_CLX AVX512_CNL AVX512_ICL")
 
-import jax
+_jax_configured = False
 
-# The seqhash math is 64-bit (kmer * factor1 mod 2^64; reference seqhash.h:58).
-# TPU emulates u64 on the VPU; enable x64 before any tracing happens.
-jax.config.update("jax_enable_x64", True)
 
-# CLI invocations are separate processes: persist compiled kernels so only
-# the first run pays the (tunnel-amplified) XLA compile cost.
-_cache_dir = os.environ.get("MODIMIZER_XLA_CACHE",
-                            os.path.expanduser("~/.cache/modimizer_tpu_xla"))
-try:
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+def configure_jax():
+    """Configure jax for this framework; called by every module that uses
+    the device path.  Importing jax costs ~2 s on this host, so host-only
+    CLI paths never trigger it.
+
+    - x64: the seqhash math is 64-bit (kmer * factor1 mod 2^64; reference
+      seqhash.h:58); TPU emulates u64 on the VPU.  Must run before tracing.
+    - persistent compilation cache: CLI invocations are separate processes,
+      so only the first run pays the (tunnel-amplified) XLA compile cost.
+    """
+    global _jax_configured
+    if _jax_configured:
+        return
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    cache_dir = os.environ.get(
+        "MODIMIZER_XLA_CACHE",
+        os.path.expanduser("~/.cache/modimizer_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+    _jax_configured = True
 
 __version__ = "0.1.0"

@@ -24,6 +24,10 @@ by two sequences is sampled in both) holds for the superset too.
 
 import functools
 
+import modimizer_tpu
+
+modimizer_tpu.configure_jax()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,6 +8,10 @@ stream ``tw`` is derived on device (2-bit-group reversal + complement), and
 read-boundary validity crosses as packed bits (1/8 B/base).
 """
 
+import modimizer_tpu
+
+modimizer_tpu.configure_jax()
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -38,6 +38,10 @@ import sys as _sys
 
 _sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 
+import modimizer_tpu
+
+modimizer_tpu.configure_jax()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

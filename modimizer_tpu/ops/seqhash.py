@@ -23,53 +23,14 @@ the reference iterator's emission order.
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core.seqhash import Seqhash
-from .packed import canonical_hashes, derive_tw, extract_kmers, pack_sw
 
 DEFAULT_CHUNK = 1 << 25  # 32 Mbase per device dispatch
 BLOCK = 4096             # positions per compaction block
 
 U64 = np.uint64
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "cap"))
-def _scan_chunk(sw, m, *, k, w, factor1, cap):
-    """Packed-stream scan of C positions (C = 32*(len(sw)-1)).
-
-    Emitted rows are compacted by ONE unstable 3-column sort whose key embeds
-    the stream position (emitted-first), so the compacted rows come out in
-    exact stream order with no gathers (TPU gathers serialize; sorts move
-    payload columns at memory speed).
-
-    sw: u64 [C/32 + 1] (halo word).  m: i32 live-position count.
-    Returns (kmers u64 [cap], meta u64 [cap] = (pos << 1) | isF, total i32).
-    Rows beyond cap are dropped; total reports the true count so the caller
-    can fall back to a host rescan.
-    """
-    C = 32 * (sw.shape[0] - 1)
-    tw = derive_tw(sw)
-    h, hrc = extract_kmers(sw, tw, k, C)
-    hashes, kmers, isF = canonical_hashes(h, hrc, k, factor1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
-    emit = ((hashes % jnp.uint64(w)) == jnp.uint64(0)) & (pos < m)
-    khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    meta32 = ((pos.astype(jnp.uint32) << jnp.uint32(1))
-              | isF.astype(jnp.uint32))
-    keypos = jnp.where(emit, pos.astype(jnp.uint32),
-                       pos.astype(jnp.uint32) | jnp.uint32(0x80000000))
-    _sk, shi, slo, sm = jax.lax.sort((keypos, khi, klo, meta32), num_keys=1,
-                                     is_stable=False)
-    total = jnp.sum(emit).astype(jnp.int32)
-    out_k = ((shi[:cap].astype(jnp.uint64) << jnp.uint64(32))
-             | slo[:cap].astype(jnp.uint64))
-    out_m = sm[:cap].astype(jnp.uint64)
-    return out_k, out_m, total
 
 
 def _validity(offsets: np.ndarray, n: int, k: int) -> np.ndarray:
@@ -108,12 +69,13 @@ class ModimizerScanner:
     def platform_hint():
         """Configured jax platform WITHOUT initializing the backend."""
         import os
+        import sys as _sys
         hint = os.environ.get("JAX_PLATFORMS", "")
-        try:
-            import jax
-            hint = hint or (jax.config.jax_platforms or "")
-        except Exception:  # pragma: no cover
-            pass
+        if not hint and "jax" in _sys.modules:
+            try:
+                hint = _sys.modules["jax"].config.jax_platforms or ""
+            except Exception:  # pragma: no cover
+                pass
         return hint
 
     @staticmethod
@@ -147,6 +109,9 @@ class ModimizerScanner:
                                if host_threshold is None else host_threshold)
 
     def _dispatch(self, codes: np.ndarray, s: int, m: int):
+        import jax.numpy as jnp
+        from .device_scan import _scan_chunk
+        from .packed import pack_sw
         k = self.sh.k
         C = self.chunk
         NW = C // 32

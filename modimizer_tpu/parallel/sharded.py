@@ -23,6 +23,10 @@ bits); per-step device->host traffic is two scalars.
 
 import functools
 
+import modimizer_tpu
+
+modimizer_tpu.configure_jax()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
