@@ -43,6 +43,11 @@ def configure_jax():
         return
     import jax
     jax.config.update("jax_enable_x64", True)
+    # The axon PJRT plugin force-selects itself at registration time, which
+    # tramples an explicit JAX_PLATFORMS=cpu (used by the multi-chip dry run
+    # and the CPU-mesh tests).  Re-assert the user's choice.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     cache_dir = os.environ.get(
         "MODIMIZER_XLA_CACHE",
         os.path.expanduser("~/.cache/modimizer_tpu_xla"))

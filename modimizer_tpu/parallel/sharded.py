@@ -541,95 +541,91 @@ class ShardedModsetBuilder:
 # distributed by hash prefix over the mesh
 # ------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n_shards", "cap", "factor1",
-                                             "mesh"))
-def sharded_merge_step(kmers, depth, info, rank, src_b, *, n_shards, cap,
-                       factor1, mesh):
-    """Route (kmer, depth, info, rank, isB) by hash prefix; per shard reduce
-    with the reference's exact merge math:
+@functools.partial(jax.jit, static_argnames=("n_shards", "cap", "mesh"))
+def sharded_merge_step(kmers, depth, info, rank, *, n_shards, cap, mesh):
+    """Route (kmer, depth, info, rank) rows by a kmer partition; per shard
+    reduce with the reference's exact merge math (modset.c:106-128):
       depth: saturating U16 add (modset.c:122)
       info:  A-only keeps full info; A+B -> (infoA & 3) | min(cA+cB, 3)
-             with flag bits cleared (modset.c:124-125); B-only -> copyB
-      rank:  min (first-encounter order of the replayed insertion stream)
+             (flag bits cleared, modset.c:124-125); B-only -> copyB
+      rank:  min (first-encounter order for the replayed insertion stream)
 
-    Inputs are [n_shards, cap] padded with U64_SENTINEL kmers.  Returns
-    per-shard reduced arrays (still [n_shards, cap], sentinel-padded,
-    sorted by kmer) plus a per-shard overflow flag.
+    A rows always carry smaller ranks than B rows, so after a (kmer, rank)
+    sort each segment's first row is A's when both are present.  Everything
+    is sorts + gathers — no TPU scatters.
+
+    Inputs [n_shards, cap], kmers sentinel-padded.  Returns reduced arrays
+    (sentinel-padded, kmer-sorted per shard) + per-shard overflow flags.
     """
 
-    def step(km, dp, nf, rk, sb):
-        km, dp, nf, rk, sb = km[0], dp[0], nf[0], rk[0], sb[0]
+    def step(km, dp, nf, rk):
+        km, dp, nf, rk = km[0], dp[0], nf[0], rk[0]
         n = km.shape[0]
-        # owner by low bits of the kmer itself: uniform and hash-free is fine
-        # here since routing only needs a balanced deterministic partition
         owner = (km % jnp.uint64(n_shards)).astype(jnp.uint32)
-        key = jnp.where(km != U64_SENTINEL, owner, jnp.uint32(n_shards))
-        order = jnp.argsort(key, stable=True)
-        so = key[order]
-        group_start = jnp.searchsorted(so, jnp.arange(n_shards,
-                                                      dtype=jnp.uint32))
-        rank_in = jnp.arange(n) - group_start[jnp.minimum(so, n_shards - 1)]
-        ok = (so < n_shards) & (rank_in < cap)
-        slot = jnp.where(ok, so.astype(jnp.int32) * cap +
-                         rank_in.astype(jnp.int32), n_shards * cap)
+        key_real = jnp.where(km != U64_SENTINEL, owner * 2,
+                             jnp.uint32(2 * n_shards))
+        key_pad = (jnp.arange(n_shards * cap,
+                              dtype=jnp.uint32) // cap) * 2 + 1
+        allk = jnp.concatenate([key_real, key_pad])
 
-        def scatter(v, fill, dt):
-            return jnp.full(n_shards * cap, fill, dt).at[slot].set(
-                v[order], mode="drop")
+        def pad(v, fill, dt):
+            return jnp.concatenate([v, jnp.full(n_shards * cap, fill, dt)])
 
-        send_k = scatter(km, U64_SENTINEL, jnp.uint64)
-        send_d = scatter(dp, 0, jnp.uint32)
-        send_i = scatter(nf, 0, jnp.uint32)
-        send_r = scatter(rk, POS_INF, jnp.uint64)
-        send_b = scatter(sb, 0, jnp.uint32)
-        overflow = jnp.any((so < n_shards) & (rank_in >= cap))
+        sk, sv, sd, si, sr = _sort_multi(
+            [allk], [pad(km, U64_SENTINEL, jnp.uint64),
+                     pad(dp, 0, jnp.uint32), pad(nf, 0, jnp.uint32),
+                     pad(rk, POS_INF, jnp.uint64)])
+        starts = jnp.searchsorted(sk, jnp.arange(n_shards,
+                                                 dtype=jnp.uint32) * 2)
+        ends = jnp.searchsorted(sk, jnp.arange(n_shards,
+                                               dtype=jnp.uint32) * 2 + 1)
+        overflow = jnp.any((ends - starts) > cap)
+        j = jnp.arange(n_shards * cap)
+        idx = starts[j // cap] + (j % cap)
 
         def a2a(x):
-            return jax.lax.all_to_all(x.reshape(n_shards, cap), "shard",
-                                      split_axis=0, concat_axis=0,
-                                      tiled=True).reshape(-1)
+            return jax.lax.all_to_all(
+                jnp.take(x, idx).reshape(n_shards, cap), "shard",
+                split_axis=0, concat_axis=0, tiled=True).reshape(-1)
 
-        rk_k, rk_d, rk_i = a2a(send_k), a2a(send_d), a2a(send_i)
-        rk_r, rk_b = a2a(send_r), a2a(send_b)
+        rk_k, rk_d, rk_i, rk_r = a2a(sv), a2a(sd), a2a(si), a2a(sr)
 
-        # reduce per kmer: at most one A and one B contributor
-        k_s, d_s, i_s, r_s, b_s = sort_u64_with_payload(rk_k, rk_d, rk_i,
-                                                        rk_r, rk_b)
+        # reduce per kmer: sort (kmer, rank); <= 2 contributors per kmer
+        k_s, r_s, d_s, i_s = _sort_multi([rk_k, rk_r], [rk_d, rk_i])
         m = k_s.shape[0]
-        first = jnp.concatenate([jnp.array([True]), k_s[1:] != k_s[:-1]])
-        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
         live = k_s != U64_SENTINEL
-        depth_sum = jax.ops.segment_sum(jnp.where(live, d_s, 0), seg, m)
-        depth_sum = jnp.minimum(depth_sum, jnp.uint32(0xFFFF))
-        n_contrib = jax.ops.segment_sum(live.astype(jnp.int32), seg, m)
-        info_a = jax.ops.segment_max(jnp.where(live & (b_s == 0), i_s, 0),
-                                     seg, m)
-        info_b = jax.ops.segment_max(jnp.where(live & (b_s == 1), i_s, 0),
-                                     seg, m)
-        rank_min = jax.ops.segment_min(jnp.where(live, r_s, POS_INF), seg, m)
-        has_a = jax.ops.segment_max((live & (b_s == 0)).astype(jnp.int32),
-                                    seg, m)
-        c_sum = jnp.minimum((info_a & 3) + (info_b & 3), jnp.uint32(3))
-        info_both = (info_a & jnp.uint32(3)) | c_sum
-        info_out = jnp.where(n_contrib > 1, info_both,
-                             jnp.where(has_a == 1, info_a, info_b & 3))
-
-        out_slot = jnp.where(first & live, seg, m)
+        first = jnp.concatenate([jnp.array([True]),
+                                 k_s[1:] != k_s[:-1]]) & live
+        n_heads = jnp.sum(first.astype(jnp.int32))
+        n_live = jnp.sum(live.astype(jnp.int32))
+        order = _sort_multi([(~first).astype(jnp.uint8)],
+                            [jnp.arange(m, dtype=jnp.int32)],
+                            is_stable=True)[1]
+        jj = jnp.arange(m, dtype=jnp.int32)
+        p = order
+        p_next = jnp.where(jj + 1 < n_heads, jnp.roll(order, -1), n_live)
+        q = jnp.maximum(p_next - 1, p)  # last row of the segment
+        both = q > p
+        d_p = jnp.take(d_s, p)
+        d_q = jnp.where(both, jnp.take(d_s, q), jnp.uint32(0))
+        depth_out = jnp.minimum(d_p + d_q, jnp.uint32(0xFFFF))
+        i_p = jnp.take(i_s, p)
+        i_q = jnp.take(i_s, q)
+        c_sum = jnp.minimum((i_p & 3) + (i_q & 3), jnp.uint32(3))
+        info_out = jnp.where(both, (i_p & jnp.uint32(3)) | c_sum, i_p)
+        rank_out = jnp.take(r_s, p)
+        is_head = jj < n_heads
         S = n_shards * cap
-        ok2 = jnp.full(S, U64_SENTINEL, jnp.uint64).at[out_slot].set(
-            k_s, mode="drop")[:S]
-        od = jnp.zeros(S, jnp.uint32).at[out_slot].set(depth_sum[seg],
-                                                       mode="drop")[:S]
-        oi = jnp.zeros(S, jnp.uint32).at[out_slot].set(info_out[seg],
-                                                       mode="drop")[:S]
-        orr = jnp.full(S, POS_INF, jnp.uint64).at[out_slot].set(
-            rank_min[seg], mode="drop")[:S]
-        return (ok2[None], od[None], oi[None], orr[None], overflow[None])
+        out_k = jnp.where(is_head[:S], jnp.take(k_s, p[:S]), U64_SENTINEL)
+        out_d = jnp.where(is_head[:S], depth_out[:S], jnp.uint32(0))
+        out_i = jnp.where(is_head[:S], info_out[:S], jnp.uint32(0))
+        out_r = jnp.where(is_head[:S], rank_out[:S], POS_INF)
+        return (out_k[None], out_d[None], out_i[None], out_r[None],
+                overflow[None])
 
-    f = shard_map(step, mesh,
-                  in_specs=(P("shard"),) * 5,
+    f = shard_map(step, mesh, in_specs=(P("shard"),) * 4,
                   out_specs=(P("shard"),) * 5)
-    return f(kmers, depth, info, rank, src_b)
+    return f(kmers, depth, info, rank)
 
 
 def sharded_merge(ms1, ms2, mesh: Mesh):
@@ -655,16 +651,12 @@ def sharded_merge(ms1, ms2, mesh: Mesh):
                            np.zeros(pad, np.uint8)]).astype(np.uint32)
     rank = np.concatenate([np.arange(total, dtype=np.uint64),
                            np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)])
-    src_b = np.concatenate([np.zeros(n1, np.uint32), np.ones(n2, np.uint32),
-                            np.zeros(pad, np.uint32)])
 
     def shard2d(a):
         return jnp.asarray(a.reshape(n, cap))
 
     out = sharded_merge_step(shard2d(kmers), shard2d(depth), shard2d(info),
-                             shard2d(rank), shard2d(src_b),
-                             n_shards=n, cap=cap, factor1=s1.factor1,
-                             mesh=mesh)
+                             shard2d(rank), n_shards=n, cap=cap, mesh=mesh)
     ok = np.asarray(out[0]).reshape(-1)
     od = np.asarray(out[1]).reshape(-1)
     oi = np.asarray(out[2]).reshape(-1)
