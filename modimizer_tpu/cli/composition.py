@@ -65,7 +65,8 @@ def main(argv=None):
          tot_len / n if n else float("nan"), len_min, len_max))
 
     if want_bases:
-        counts = np.bincount(batch.codes.view(np.uint8), minlength=256)
+        from ..native import byte_hist256
+        counts = byte_hist256(batch.codes)
         w("bases\n")
         unprint = 0
         for i in range(256):
@@ -81,7 +82,8 @@ def main(argv=None):
 
     if want_quals and is_qual:
         w("qualities\n")
-        qc = np.bincount(batch.quals.view(np.uint8), minlength=256)
+        from ..native import byte_hist256
+        qc = byte_hist256(batch.quals)
         cum = 0
         for i in range(256):
             cum += int(qc[i])

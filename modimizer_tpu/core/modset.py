@@ -197,7 +197,9 @@ class Modset:
         if self.max == 0:
             return np.zeros(0, np.uint32)
         d = self.depth[1:self.max + 1]
-        return np.bincount(d).astype(np.uint32)
+        from ..native import u16_hist
+        h = u16_hist(d, int(d.max()) + 1)
+        return h.astype(np.uint32)
 
     def summary(self, f) -> None:
         """modsetSummary, exact text (modset.c:130-153)."""

@@ -134,6 +134,10 @@ def _declare(L):
                                      i64p, u8p, c.c_int64]
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    L.io_byte_hist.restype = None
+    L.io_byte_hist.argtypes = [u8p, c.c_int64, u64p]
+    L.io_u16_hist.restype = None
+    L.io_u16_hist.argtypes = [u16p, c.c_int64, u64p, c.c_int64]
     L.io_fasta_count.restype = c.c_int64
     L.io_fasta_count.argtypes = [u8p, c.c_int64]
     L.io_parse_fasta.restype = c.c_int64
@@ -148,3 +152,19 @@ def _declare(L):
                                 u32p, c.c_int64, c.c_char_p, i64p,
                                 c.c_char_p, i64p, i64p, c.c_int64, c.c_int,
                                 c.c_int, c.c_int]
+
+
+def byte_hist256(arr) -> np.ndarray:
+    """Histogram of a u8/i8 array into 256 bins without numpy's int64-cast
+    temporary (np.bincount materializes len(arr)*8 bytes)."""
+    a = np.ascontiguousarray(arr).view(np.uint8).reshape(-1)
+    out = np.zeros(256, np.uint64)
+    lib().io_byte_hist(a, len(a), out)
+    return out
+
+
+def u16_hist(arr, nbins: int) -> np.ndarray:
+    a = np.ascontiguousarray(arr, np.uint16).reshape(-1)
+    out = np.zeros(nbins, np.uint64)
+    lib().io_u16_hist(a, len(a), out, nbins)
+    return out

@@ -1877,3 +1877,27 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
     }
   return total;
 }
+
+// ---------------------------------------------------------------------
+// byte/word histograms: numpy's bincount casts the input to int64 (a
+// len(arr)*8-byte temporary), which page-fault-thrashes on whole-file
+// arrays; these count in place.
+extern "C" void io_byte_hist(const U8 *a, I64 n, U64 *out256) {
+  memset(out256, 0, 256 * sizeof(U64));
+#pragma omp parallel
+  {
+    U64 loc[256] = {0};
+#pragma omp for nowait
+    for (I64 i = 0; i < n; ++i) ++loc[a[i]];
+#pragma omp critical
+    for (int j = 0; j < 256; ++j) out256[j] += loc[j];
+  }
+}
+
+extern "C" void io_u16_hist(const U16 *a, I64 n, U64 *out, I64 nbins) {
+  memset(out, 0, nbins * sizeof(U64));
+  for (I64 i = 0; i < n; ++i) {
+    U16 v = a[i];
+    if ((I64)v < nbins) ++out[v];
+  }
+}

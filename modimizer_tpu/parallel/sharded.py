@@ -360,7 +360,13 @@ class ShardedModsetBuilder:
         self.S = state_size
         self.max_S = max_state_size
         self.max_buffer_rows = max_buffer_rows
-        self.cap = cap or int(max(1024, 4 * self.chunk / sh.w))
+        # cap = routing slots per (sender, owner) pair.  Hashing balances
+        # owners, so the expectation is chunk/(w*n); keep a 4x margin.
+        # Without the /n the per-device routing buffer (n*cap rows) and the
+        # per-step accumulation (n^2*cap rows) grow superlinearly with the
+        # mesh.  Undersizing is safe: overflow triggers widen-and-replay.
+        self.cap = cap or int(max(1024,
+                                  4 * self.chunk / sh.w / mesh.devices.size))
         if self.n == 1:
             want = cap * BLK // self.chunk if cap else 2 * BLK // sh.w
             self.bo = int(min(BLK, max(8, ((want + 7) // 8) * 8)))
