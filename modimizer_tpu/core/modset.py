@@ -269,12 +269,21 @@ class Modset:
             raise ValueError("seqhash read mismatch")
         off += 8
         sh = Seqhash.from_bytes(data[off:off + 80]); off += 80
-        ms = cls(sh, bits, size)
+        ms = cls.__new__(cls)
+        # skip __init__'s zero-filled allocations (268MB for bits=26) —
+        # every field is about to be overwritten from the file
+        ms.hasher = sh
+        ms.table_bits = bits
+        ms.table_size = 1 << bits
+        ms.table_mask = ms.table_size - 1
+        ms.size = size if size else (ms.table_size >> 2) - 1
         ts = ms.table_size
-        ms.index = np.frombuffer(data, np.uint32, ts, off).copy(); off += 4 * ts
-        ms.value = np.frombuffer(data, np.uint64, size, off).copy(); off += 8 * size
-        ms.depth = np.frombuffer(data, np.uint16, size, off).copy(); off += 2 * size
-        ms.info = np.frombuffer(data, np.uint8, size, off).copy(); off += size
+        # one writable copy of the whole payload instead of four .copy()s
+        buf = bytearray(data) if not isinstance(data, bytearray) else data
+        ms.index = np.frombuffer(buf, np.uint32, ts, off); off += 4 * ts
+        ms.value = np.frombuffer(buf, np.uint64, size, off); off += 8 * size
+        ms.depth = np.frombuffer(buf, np.uint16, size, off); off += 2 * size
+        ms.info = np.frombuffer(buf, np.uint8, size, off); off += size
         ms.max = size - 1
         return ms
 

@@ -1827,10 +1827,48 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
                                   U8 *out_f, I64 cap) {
   const U64 mask = (k < 32) ? ((((U64)1) << (2 * k)) - 1) : ~(U64)0;
   const int rcShift = 2 * (k - 1);
-  std::vector<I64> counts((size_t)nReads, 0);
-  std::vector<std::vector<U64>> ck((size_t)nReads);
-  std::vector<std::vector<I64>> cp((size_t)nReads);
-  std::vector<std::vector<U8>> cf((size_t)nReads);
+  // Two passes, zero per-read allocation: short-read sets (hundreds of
+  // thousands of reads) page-fault-thrash with per-read vectors, and the
+  // rolling loop is cheap enough that recomputing beats allocating.
+  std::vector<I64> starts((size_t)nReads + 1, 0);
+  int nThreads = 1;
+#ifdef _OPENMP
+  nThreads = omp_get_max_threads();
+#endif
+  if (nThreads == 1) {
+    // sequential: one fused pass, direct writes (on overflow keep counting
+    // so the caller learns the required size from -total)
+    I64 o = 0;
+    for (I64 r = 0; r < nReads; ++r) {
+      I64 s0 = offsets[r], s1 = offsets[r + 1];
+      if (s1 - s0 < k) continue;
+      U64 h = 0, hrc = 0;
+      for (int j = 0; j < k; ++j) {
+        U64 b = codes[s0 + j];
+        h = ((h << 2) & mask) | b;
+        hrc = (hrc >> 2) | ((3 - b) << rcShift);
+      }
+      for (I64 p = s0;;) {
+        U64 hf = (h * factor1) >> shift1;
+        U64 hr = (hrc * factor1) >> shift1;
+        U64 hash = hf < hr ? hf : hr;
+        if (hash % w == 0) {
+          if (o < cap) {
+            out_k[o] = hf < hr ? h : hrc;
+            out_p[o] = p;
+            out_f[o] = hf < hr ? 1 : 0;
+          }
+          ++o;
+        }
+        if (p + k >= s1) break;
+        U64 b = codes[p + k];
+        ++p;
+        h = ((h << 2) & mask) | b;
+        hrc = (hrc >> 2) | ((3 - b) << rcShift);
+      }
+    }
+    return o > cap ? -o : o;
+  }
 
 #ifdef _OPENMP
 #pragma omp parallel for schedule(guided)
@@ -1844,17 +1882,46 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
       h = ((h << 2) & mask) | b;
       hrc = (hrc >> 2) | ((3 - b) << rcShift);
     }
-    std::vector<U64> &vk = ck[r];
-    std::vector<I64> &vp = cp[r];
-    std::vector<U8> &vf = cf[r];
+    I64 cnt = 0;
+    for (I64 p = s0;;) {
+      U64 hf = (h * factor1) >> shift1;
+      U64 hr = (hrc * factor1) >> shift1;
+      U64 hash = hf < hr ? hf : hr;
+      if (hash % w == 0) ++cnt;
+      if (p + k >= s1) break;
+      U64 b = codes[p + k];
+      ++p;
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    starts[r + 1] = cnt;
+  }
+  for (I64 r = 0; r < nReads; ++r) starts[r + 1] += starts[r];
+  I64 total = starts[nReads];
+  if (total > cap) return -total;
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(guided)
+#endif
+  for (I64 r = 0; r < nReads; ++r) {
+    I64 s0 = offsets[r], s1 = offsets[r + 1];
+    if (s1 - s0 < k) continue;
+    U64 h = 0, hrc = 0;
+    for (int j = 0; j < k; ++j) {
+      U64 b = codes[s0 + j];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    I64 o = starts[r];
     for (I64 p = s0;;) {
       U64 hf = (h * factor1) >> shift1;
       U64 hr = (hrc * factor1) >> shift1;
       U64 hash = hf < hr ? hf : hr;
       if (hash % w == 0) {
-        vk.push_back(hf < hr ? h : hrc);
-        vp.push_back(p);
-        vf.push_back(hf < hr ? 1 : 0);
+        out_k[o] = hf < hr ? h : hrc;
+        out_p[o] = p;
+        out_f[o] = hf < hr ? 1 : 0;
+        ++o;
       }
       if (p + k >= s1) break;
       U64 b = codes[p + k];
@@ -1862,19 +1929,7 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
       h = ((h << 2) & mask) | b;
       hrc = (hrc >> 2) | ((3 - b) << rcShift);
     }
-    counts[r] = (I64)vk.size();
   }
-  I64 total = 0;
-  for (I64 r = 0; r < nReads; ++r) total += counts[r];
-  if (total > cap) return -total;
-  I64 off = 0;
-  for (I64 r = 0; r < nReads; ++r)
-    if (counts[r]) {
-      memcpy(out_k + off, ck[r].data(), counts[r] * sizeof(U64));
-      memcpy(out_p + off, cp[r].data(), counts[r] * sizeof(I64));
-      memcpy(out_f + off, cf[r].data(), counts[r] * sizeof(U8));
-      off += counts[r];
-    }
   return total;
 }
 

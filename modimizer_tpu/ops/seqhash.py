@@ -209,9 +209,13 @@ class ModimizerScanner:
         """Scan a SeqBatch; returns (kmers, read_ids, read_pos, isF)."""
         offsets = np.asarray(batch.offsets, np.int64)
         kmers, gpos, isF = self.scan_stream(batch.codes, offsets)
-        rid = np.searchsorted(offsets, gpos, side="right") - 1
-        rpos = gpos - offsets[rid]
-        return kmers, rid.astype(np.int64), rpos.astype(np.int64), isF
+        # gpos is ascending (stream order), so search the 4k read starts
+        # into the 3M positions instead of the reverse
+        starts = np.searchsorted(gpos, offsets)
+        counts = np.diff(starts)
+        rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        rpos = gpos - np.repeat(offsets[:-1], counts)
+        return kmers, rid, rpos.astype(np.int64), isF
 
 
 def first_encounter_unique(kmers: np.ndarray):
