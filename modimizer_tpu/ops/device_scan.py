@@ -33,7 +33,8 @@ def _scan_chunk(sw, m, *, k, w, factor1, cap):
     h, hrc = extract_kmers(sw, tw, k, C)
     hashes, kmers, isF = canonical_hashes(h, hrc, k, factor1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
-    emit = ((hashes % jnp.uint64(w)) == jnp.uint64(0)) & (pos < m)
+    from ..parallel.sharded import mod_is_zero
+    emit = mod_is_zero(hashes, w) & (pos < m)
     khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     meta32 = ((pos.astype(jnp.uint32) << jnp.uint32(1))
