@@ -204,15 +204,24 @@ def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
     # accumulates in f32, and halving operand bytes halves HBM traffic
     cols = jnp.stack(limbs, axis=1).astype(jnp.bfloat16)
     e2 = emit.reshape(nb, BLK)
-    dest = jnp.cumsum(e2.astype(jnp.int32), axis=1) - 1
-    dest = jnp.where(e2, dest, -1)
-    slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
+    # cumsum on the MXU: emit-row @ upper-triangular ones.  The 9-pass VPU
+    # log-shift prefix costs ~5 ms per 16M positions; this matmul is
+    # effectively free next to the compaction matmul (values <= BLK are
+    # exact in the f32 accumulator; 0/1 operands are exact in bf16).
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+          ).astype(jnp.bfloat16)
+    csum = jax.lax.dot_general(e2.astype(jnp.bfloat16), ut,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    dest = jnp.where(e2, csum - 1.0, -1.0)
+    slots = jax.lax.broadcasted_iota(jnp.float32, (nb, bo, BLK), 1)
     onehot = (dest[:, None, :] == slots).astype(jnp.bfloat16)
     ncols = len(limbs)
     out = jax.lax.dot_general(onehot, cols.reshape(nb, BLK, ncols),
                               (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
-    cnts = jnp.sum(e2, axis=1)
+    cnts = csum[:, -1].astype(jnp.int32)
     o = out.astype(jnp.uint32)
 
     def u32_of(i, nl=4):

@@ -180,3 +180,23 @@ def test_single_device_fast_path():
             assert np.array_equal(k2, u2)
             assert np.array_equal(d2, c2)
             break
+
+
+def test_sharded_build_non_pow2_w():
+    """w=10 exercises the emulated-u64 modulo fallback (mod_is_zero) and the
+    non-pow2 owner routing (div_mod_owner) against the host oracle."""
+    rng = np.random.default_rng(33)
+    sh = Seqhash.create(16, 10, 17)
+    lens = rng.integers(50, 400, size=120)
+    codes = np.concatenate([rng.integers(0, 4, size=l).astype(np.uint8)
+                            for l in lens])
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    sc = ModimizerScanner(sh, chunk=1 << 12)
+    kmers, _g, _f = sc.scan_stream(codes, offsets)
+    uniq, counts = first_encounter_unique(kmers)
+    b = ShardedModsetBuilder(sh, build_mesh(), chunk_per_dev=1 << 10,
+                             state_size=1 << 12)
+    b.feed_stream(codes, offsets)
+    ks, ds = b.finalize()
+    assert np.array_equal(ks, uniq)
+    assert np.array_equal(ds, counts)
