@@ -10,7 +10,8 @@ modimizer_tpu.configure_jax()
 import jax
 import jax.numpy as jnp
 
-from .packed import canonical_hashes, derive_tw, extract_kmers
+from .packed import (canonical_hashes, derive_tw, extract_kmers,
+                     mod_is_zero)
 
 
 @functools.partial(jax.jit,
@@ -33,7 +34,6 @@ def _scan_chunk(sw, m, *, k, w, factor1, cap):
     h, hrc = extract_kmers(sw, tw, k, C)
     hashes, kmers, isF = canonical_hashes(h, hrc, k, factor1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
-    from ..parallel.sharded import mod_is_zero
     emit = mod_is_zero(hashes, w) & (pos < m)
     khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)

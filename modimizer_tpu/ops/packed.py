@@ -95,3 +95,29 @@ def canonical_hashes(h, hrc, k: int, factor1: int):
     hr = (hrc * f1) >> shift1
     isF = hf < hr
     return jnp.where(isF, hf, hr), jnp.where(isF, h, hrc), isF
+
+
+def _is_pow2(x):
+    return x > 0 and (x & (x - 1)) == 0
+
+
+def mod_is_zero(hashes, w):
+    """hashes % w == 0, with the common power-of-two w reduced to a 32-bit
+    mask (u64 modulo is emulated on the TPU VPU and costs ~20% of the whole
+    scan step)."""
+    if _is_pow2(w) and w <= (1 << 32):
+        lo = (hashes & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        return (lo & jnp.uint32(w - 1)) == jnp.uint32(0)
+    return (hashes % jnp.uint64(w)) == jnp.uint64(0)
+
+
+def div_mod_owner(hashes, w, n):
+    """(hashes // w) % n as u32, with pow2 fast paths."""
+    if _is_pow2(w):
+        q = hashes >> jnp.uint64(w.bit_length() - 1)
+    else:
+        q = hashes // jnp.uint64(w)
+    if _is_pow2(n) and n <= (1 << 31):
+        return ((q & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+                & jnp.uint32(n - 1))
+    return (q % jnp.uint64(n)).astype(jnp.uint32)

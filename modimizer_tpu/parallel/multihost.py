@@ -98,7 +98,7 @@ class MultiHostModsetBuilder(ShardedModsetBuilder):
                 gps.append(np.array([[base + st]], np.uint64))
             sw_g = self._globalize(sws, np.uint64)
             vb_g = self._globalize(vbs, np.uint64)
-            gp_g = self._globalize(gps, np.uint64)[:, 0]
+            gp_g = self._globalize(gps, np.uint64)
             out = self._route((sw_g, vb_g, gp_g))
             recv_width = self._recv_rows()
             if self._buffered_rows() + recv_width > self.max_buffer_rows:

@@ -32,8 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.packed import (canonical_hashes, derive_tw, expand_bits,
-                          extract_kmers, pack_bits, pack_sw)
+from ..ops.packed import (canonical_hashes, derive_tw, div_mod_owner,
+                          expand_bits, extract_kmers, mod_is_zero, pack_bits,
+                          pack_sw)
 
 try:
     def shard_map(f, mesh, in_specs, out_specs):
@@ -141,58 +142,18 @@ def sort_u64_with_payload(keys, *payloads):
 # ------------------------------------------------------------------
 
 
-def _is_pow2(x):
-    return x > 0 and (x & (x - 1)) == 0
-
-
-def mod_is_zero(hashes, w):
-    """hashes % w == 0, with the common power-of-two w reduced to a 32-bit
-    mask (u64 modulo is emulated on the TPU VPU and costs ~20% of the whole
-    scan step)."""
-    if _is_pow2(w) and w <= (1 << 32):
-        lo = (hashes & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-        return (lo & jnp.uint32(w - 1)) == jnp.uint32(0)
-    return (hashes % jnp.uint64(w)) == jnp.uint64(0)
-
-
-def div_mod_owner(hashes, w, n):
-    """(hashes // w) % n as u32, with pow2 fast paths."""
-    if _is_pow2(w):
-        q = hashes >> jnp.uint64(w.bit_length() - 1)
-    else:
-        q = hashes // jnp.uint64(w)
-    if _is_pow2(n) and n <= (1 << 31):
-        return (q & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32) & jnp.uint32(n - 1)
-    return (q % jnp.uint64(n)).astype(jnp.uint32)
-
-
 BLK = 512  # positions per one-hot compaction block (n=1 path)
 
 
-def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
-    """Single-device scan step with MXU compaction, phase-major layout.
+def _scan_front(sw, vbits, *, k, factor1, C):
+    """Phase-major scan front end shared by the single-chip compaction step
+    and the multi-device routing step.
 
-    All elementwise work runs on [32, NW] arrays (minor dim NW keeps the
-    VPU's 128 lanes full; the position-major [NW, 32] layout pads 4x).  A
-    compaction block is therefore 512 consecutive *words* at one funnel
-    phase — a stride-32 position group, not 512 consecutive positions.
-    That is legal because every consumer is order-free: the emitted rows
-    carry their true chunk-local position and the builder's compaction
-    sorts by (kmer, pos).  Stride-32 blocks also spread bursty emit runs
-    across blocks, reducing per-block overflows.
-
-    Per block, emitted rows are compacted by a one-hot matmul on the MXU:
-    the 8-bit limbs of (kmer, position) ride as bf16 columns (exact), the
-    in-block cumsum that drives the one-hot comes from a triangular-ones
-    matmul, and the MXU accumulates in f32.  This is ~2.6x faster than a
-    global sort and ~40x faster than top_k + gathers on v5e — TPU has no
-    vector scatter, so compaction must be expressed as dense algebra.
-
-    bo = output rows per BLK positions (block overflow flagged).  Returns
-    (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos u32,
-    n_emit, overflow)."""
+    Works on [32, NW] arrays (minor dim NW keeps the VPU's 128 lanes full;
+    the position-major [NW, 32] layout pads 4x).  Element [r, i] is stream
+    position 32 i + r.  Returns (hashes u64, canonical kmers u64, valid
+    bool, pos u32) — all [32, NW]."""
     NW = C // 32
-    nb = C // BLK
     tw = derive_tw(sw)
     shift1 = jnp.uint64(64 - 2 * k)
     mask2k = jnp.uint64((1 << (2 * k)) - 1)
@@ -221,11 +182,39 @@ def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
     vb32 = jnp.stack([vlo, vhi], axis=1).reshape(-1)   # [NW]
     rows = jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 0)
     valid = ((vb32[None, :] >> rows) & jnp.uint32(1)).astype(jnp.bool_)
+    pos = (jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 1) * jnp.uint32(32)
+           + rows)
+    return hashes, kmers, valid, pos
+
+
+def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
+    """Single-device scan step with MXU compaction, phase-major layout.
+
+    All elementwise work runs on [32, NW] arrays (minor dim NW keeps the
+    VPU's 128 lanes full; the position-major [NW, 32] layout pads 4x).  A
+    compaction block is therefore 512 consecutive *words* at one funnel
+    phase — a stride-32 position group, not 512 consecutive positions.
+    That is legal because every consumer is order-free: the emitted rows
+    carry their true chunk-local position and the builder's compaction
+    sorts by (kmer, pos).  Stride-32 blocks also spread bursty emit runs
+    across blocks, reducing per-block overflows.
+
+    Per block, emitted rows are compacted by a one-hot matmul on the MXU:
+    the 8-bit limbs of (kmer, position) ride as bf16 columns (exact), the
+    in-block cumsum that drives the one-hot comes from a triangular-ones
+    matmul, and the MXU accumulates in f32.  This is ~2.6x faster than a
+    global sort and ~40x faster than top_k + gathers on v5e — TPU has no
+    vector scatter, so compaction must be expressed as dense algebra.
+
+    bo = output rows per BLK positions (block overflow flagged).  Returns
+    (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos u32,
+    n_emit, overflow)."""
+    nb = C // BLK
+    hashes, kmers, valid, pos = _scan_front(sw, vbits, k=k, factor1=factor1,
+                                            C=C)
     emit = valid & mod_is_zero(hashes, w)
     klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-    pos = (jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 1) * jnp.uint32(32)
-           + rows)
     # limb count scales with k: a kmer is 2k bits (khi limbs drop out for
     # k <= 16), positions are 32-bit
     n_khi = (2 * k - 32 + 7) // 8 if k > 16 else 0
@@ -304,13 +293,16 @@ def sharded_scan_route(sw, vbits, gpos_base, *, k, w, factor1, cap, n_shards,
     (sentinel-padded), per-shard emit counts and an overflow flag."""
 
     def step(sw_l, vb_l, base_l):
-        sw_l, vb_l, base_l = sw_l[0], vb_l[0], base_l[0]
-        tw_l = derive_tw(sw_l)
-        h, hrc = extract_kmers(sw_l, tw_l, k, C)
-        hashes, kmers, _isF = canonical_hashes(h, hrc, k, factor1)
-        valid = expand_bits(vb_l, C)
-        emit = valid & mod_is_zero(hashes, w)
-        gpos = base_l + jnp.arange(C, dtype=jnp.uint64)
+        sw_l, vb_l, base_l = sw_l[0], vb_l[0], base_l[0, 0]
+        hashes2, kmers2, valid2, pos2 = _scan_front(sw_l, vb_l, k=k,
+                                                    factor1=factor1, C=C)
+        hashes = hashes2.reshape(-1)
+        kmers = kmers2.reshape(-1)
+        emit = (valid2 & mod_is_zero(hashes2, w)).reshape(-1)
+        # rows are phase-major (permuted within the chunk) — legal because
+        # gpos carries the true stream position and every downstream
+        # reduction is (kmer, pos)-sorted or min-by-pos
+        gpos = base_l + pos2.reshape(-1).astype(jnp.uint64)
         n_emit = jnp.sum(emit).astype(jnp.int64)
         owner = div_mod_owner(hashes, w, n_shards)
 
@@ -584,10 +576,17 @@ class ShardedModsetBuilder:
                 inputs = (jnp.asarray(
                     np.concatenate([sw[0], vb[0]])),)
             else:
-                gpos = jnp.asarray(
-                    np.uint64(base + s) +
-                    np.arange(self.n, dtype=np.uint64) * np.uint64(C))
-                inputs = (jnp.asarray(sw), jnp.asarray(vb), gpos)
+                # place inputs with their mesh sharding explicitly: letting
+                # jit reshard single-device arrays into a shard_map trips an
+                # XLA-CPU input-buffer bug when another executable has
+                # already run in the process (gpos is [n, 1] for the same
+                # reason: a degenerate rank-1 sharded input is mishandled)
+                shd = jax.sharding.NamedSharding(self.mesh, P("shard"))
+                gpos = (np.uint64(base + s) +
+                        np.arange(self.n, dtype=np.uint64) * np.uint64(C)
+                        ).reshape(self.n, 1)
+                inputs = (jax.device_put(sw, shd), jax.device_put(vb, shd),
+                          jax.device_put(gpos, shd))
             out = self._route(inputs)
             if self._buffered_rows() + self._recv_rows() > self.max_buffer_rows:
                 self._compact()
