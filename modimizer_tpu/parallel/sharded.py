@@ -142,7 +142,7 @@ def sort_u64_with_payload(keys, *payloads):
 # ------------------------------------------------------------------
 
 
-BLK = 512  # positions per one-hot compaction block (n=1 path)
+BLK = 1024  # positions per one-hot compaction block (n=1 path)
 
 
 def _scan_front(sw, vbits, *, k, factor1, C):
@@ -427,7 +427,16 @@ class ShardedModsetBuilder:
         self.cap = cap or int(max(1024,
                                   4 * self.chunk / sh.w / mesh.devices.size))
         if self.n == 1:
-            want = cap * BLK // self.chunk if cap else 2 * BLK // sh.w
+            if cap:
+                want = cap * BLK // self.chunk
+            else:
+                # emits per block ~ Binomial(BLK, 1/w): mean + 6 sigma.
+                # Stride-32 blocks de-cluster bursts; a rare overflow is
+                # caught by the flag and replayed at double bo (exactness
+                # preserved, tests/test_sharded.py overflow case).
+                import math
+                mean = BLK // sh.w
+                want = mean + 6 * max(1, math.isqrt(mean))
             self.bo = int(min(BLK, max(8, ((want + 7) // 8) * 8)))
         else:
             self.bo = 0
