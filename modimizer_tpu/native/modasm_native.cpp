@@ -637,10 +637,14 @@ extern "C" void rs_clean_mods(RSView *v) {
   int w = v->hasherW;
   // generation stamps replace the reference's per-read bzero'd bool map
   std::vector<I64> seenAt((size_t)v->msMax + 1, 0);
+  // reference off-by-one (modasm.c:522-523): r starts at index 0 while i
+  // starts at 1, so cleanMods scans reads 0..n-1 — the LAST read is never
+  // processed (read 0 is the burned null read, a no-op).  Replicated for
+  // output parity.
   for (I64 i = 1; i < v->nReads; ++i) {
-    const U32 *h = readHits(v, i);
-    const U16 *dxr = readDx(v, i);
-    int nh = v->nHit[i];
+    const U32 *h = readHits(v, i - 1);
+    const U16 *dxr = readDx(v, i - 1);
+    int nh = v->nHit[i - 1];
     int lastDepth = 0;
     U32 hhLast = 0;
     for (int j = 0; j < nh; ++j) {

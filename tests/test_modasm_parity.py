@@ -135,3 +135,21 @@ def test_tandem_repeat_core_flags(tmp_path):
                    check=True, capture_output=True)
     run_pair(["-m", str(mod), "-f", str(reads), "-R", str(ref),
               "-rb", "1", "-rb", "2", "-S"])
+
+
+def test_cleanmods_last_read_off_by_one(tmp_path):
+    """modasm.c:522-523 starts r at read 0 but i at 1, so cleanMods never
+    visits the LAST read; mods internal only there must stay unflagged.
+    Overlapping reads make the final read carry unique tail mods."""
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 4, size=50000).astype(np.uint8)
+    reads = tmp_path / "r.fa"
+    with open(reads, "w") as f:
+        for i, r in enumerate([g[:20000], g[5000:25000], g[10000:30000]]):
+            f.write(f">r{i}\n{''.join(BASES[r])}\n")
+    mod = tmp_path / "T.mod"
+    mu = harness.build_tool("modutils")
+    subprocess.run([str(mu), "-c", "20", "16", "16", "17", "-a", str(reads),
+                    "-s", "2", "5", "10", "-w", str(mod)],
+                   check=True, capture_output=True)
+    run_pair(["-m", str(mod), "-f", str(reads), "-C", "-S"])
