@@ -150,3 +150,26 @@ def test_native_parsers_match_numpy_twins():
             assert a.ids == b.ids and a.descs == b.descs
             if isq:
                 assert np.array_equal(a.quals, b.quals)
+
+
+def test_native_histograms_match_bincount():
+    """byte_hist256 / u16_hist replace np.bincount on whole-file arrays
+    (which casts to int64, an 8x temporary); exactness check."""
+    import numpy as np
+    from modimizer_tpu.native import byte_hist256, u16_hist
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, size=1_000_003).astype(np.uint8)
+    assert np.array_equal(byte_hist256(a),
+                          np.bincount(a, minlength=256).astype(np.uint64))
+    s = rng.integers(0, 300, size=500_001).astype(np.int8)  # signed view path
+    assert np.array_equal(byte_hist256(s),
+                          np.bincount(s.view(np.uint8),
+                                      minlength=256).astype(np.uint64))
+    d = rng.integers(0, 5000, size=750_000).astype(np.uint16)
+    nb = int(d.max()) + 1
+    assert np.array_equal(u16_hist(d, nb),
+                          np.bincount(d, minlength=nb).astype(np.uint64))
+    # bins smaller than max: out-of-range values are dropped
+    h = u16_hist(d, 100)
+    assert np.array_equal(h, np.bincount(d[d < 100],
+                                         minlength=100).astype(np.uint64))
