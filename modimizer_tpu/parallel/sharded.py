@@ -32,8 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.packed import (canonical_hashes, derive_tw, div_mod_owner,
-                          expand_bits, extract_kmers, mod_is_zero, pack_bits,
+from ..ops.packed import (derive_tw, div_mod_owner, mod_is_zero, pack_bits,
                           pack_sw)
 
 try:
