@@ -160,10 +160,10 @@ def main(argv=None):
         elif args.match("-C", "--cleanmods", 1):
             need_rs().native_call("rs_clean_mods", out.f)
         elif (m := args.match("-T", "--testmods", 3)):
-            r = need_rs()
-            if r.mi_flags is None:
-                die("need to run -R first")
-            r.native_call("rs_test_mods", out.f, int(m[1]), int(m[2]))
+            # the modInfo check lives in the native engine AFTER the YY/ZZ
+            # side files are created, matching the reference's file-then-die
+            # order (modasm.c:604-609)
+            need_rs().native_call("rs_test_mods", out.f, int(m[1]), int(m[2]))
         elif (m := args.match("-R", "--ref", 2)):
             ref_flag(need_rs(), m[1], out)
         elif (m := args.match("-rb", "--resetbits", 2)):

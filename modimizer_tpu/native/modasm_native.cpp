@@ -194,9 +194,16 @@ static void hDouble(IHash &h) {
   ov.swap(h.values);
   h.keys.assign((size_t)1 << h.nbits, 0);
   h.values.assign((size_t)1 << h.nbits, 0);
+  // reference bug replicated (hash.c:126-155): `delta` is FUNCTION-scoped
+  // in hashDouble, so it is computed for the first key that bounces and
+  // then reused, stale, for every later relocated key.  Mis-placed entries
+  // are invisible to hashAdd's (correct, per-key) probe, so re-added keys
+  // become duplicates and hashCount over-reports — observable in
+  // assembleFromRead's "AR %d total hits" once the table has doubled.
+  long delta = 0;
   for (int i = 0; i < oldsize; ++i)
     if (ok[i] && ok[i] != H_REMOVED) {
-      long hash = hSlot(ok[i], h.mask), delta = 0;
+      long hash = hSlot(ok[i], h.mask);
       while (true) {
         if (!h.keys[hash]) {
           h.keys[hash] = ok[i];
@@ -746,13 +753,19 @@ static int g_testRun = 0;  // static RUN counter (modasm.c:602)
 
 extern "C" void rs_test_mods(RSView *v, int minDepth, int maxDepth) {
   Sinks s = sinksOpen(v);
-  if (!v->miFlags) die("need to run -R first");
   int RUN = ++g_testRun;
   char yName[24], zName[24];
   snprintf(yName, sizeof yName, "YY-TEST%d", RUN);
   snprintf(zName, sizeof zName, "ZZ-TEST%d", RUN);
+  // the reference creates (truncates) the side files BEFORE the modInfo
+  // check (modasm.c:604-609), so -T without -R leaves empty YY/ZZ files
   FILE *yFile = fopen(yName, "w");
   FILE *zFile = fopen(zName, "w");
+  if (!v->miFlags) {
+    fclose(yFile);
+    fclose(zFile);
+    die("need to run -R first");
+  }
 
   for (I64 i = 0; i < v->msMax + 1; ++i)
     v->miGood[i] = v->miMod2[i] = v->miBadLD[i] = v->miSplit[i] =

@@ -1,0 +1,84 @@
+import os, sys, subprocess, random
+sys.path.insert(0, "/root/repo")
+import numpy as np
+from tests.golden import harness
+D = "/tmp/modimizer_fuzz"
+os.makedirs(D, exist_ok=True)
+B = np.frombuffer(b"ACGT", np.uint8)
+rng = np.random.default_rng(1234)
+with open(f"{D}/a.fa", "w") as f:
+    for i in range(300):
+        f.write(f">r{i}\n{B[rng.integers(0,4,size=int(rng.integers(60,800)))].tobytes().decode()}\n")
+with open(f"{D}/b.fa", "w") as f:
+    for i in range(200):
+        f.write(f">s{i}\n{B[rng.integers(0,4,size=500)].tobytes().decode()}\n")
+
+MU = str(harness.build_tool("modutils"))
+PY = [sys.executable, "/root/repo/bin/modutils"]
+
+def flt(b):
+    t = b.decode("latin1")
+    return "\n".join(l for l in t.splitlines()
+                     if not l.startswith("user\t") and "resources used" not in l)
+
+R = random.Random(7)
+def chain(i):
+    cmds = []
+    has_ms = False
+    n = R.randint(1, 6)
+    for _ in range(n):
+        roll = R.random()
+        if not has_ms or roll < 0.15:
+            cmds += ["-c", str(R.choice([20, 21])), "16",
+                     str(R.choice([8, 16, 17])), "17"]
+            has_ms = True
+        elif roll < 0.35:
+            cmds += ["-a", f"{D}/{R.choice(['a','b'])}.fa"]
+        elif roll < 0.45:
+            cmds += ["-p", str(R.randint(1, 3)), str(R.randint(4, 99))]
+        elif roll < 0.55:
+            cmds += ["-s", str(R.randint(2, 5)), str(R.randint(6, 20)),
+                     str(R.randint(21, 90))]
+        elif roll < 0.62:
+            cmds += ["-sM", str(R.randint(2, 30))]
+        elif roll < 0.70:
+            cmds += ["-H", f"h{i}.his"]
+        elif roll < 0.78:
+            cmds += ["-x", str(R.randint(1, 20))]
+        elif roll < 0.86:
+            cmds += ["-w", f"w{i}.mod"]
+        elif roll < 0.93:
+            cmds += ["-wt", f"t{i}.txt"]
+        else:
+            cmds += ["-P", f"{D}/b.fa"]
+    return cmds
+
+fails = 0
+for i in range(40):
+    args = chain(i)
+    dc, dp = f"{D}/c{i}", f"{D}/p{i}"
+    os.makedirs(dc, exist_ok=True); os.makedirs(dp, exist_ok=True)
+    rc = subprocess.run([MU] + args, capture_output=True, cwd=dc, timeout=120)
+    rp = subprocess.run(PY + args, capture_output=True, cwd=dp, timeout=300,
+                        env={**os.environ, "MODIMIZER_SCAN": "host"})
+    ok = (rc.returncode == rp.returncode and flt(rc.stdout) == flt(rp.stdout)
+          and flt(rc.stderr) == flt(rp.stderr))
+    if ok:
+        for fn in os.listdir(dc):
+            a = open(f"{dc}/{fn}", "rb").read()
+            b = open(f"{dp}/{fn}", "rb").read() if os.path.exists(f"{dp}/{fn}") else None
+            if a != b:
+                ok = False; print(f"[{i}] FILE DIFF {fn}", " ".join(args)); break
+    if not ok:
+        fails += 1
+        print(f"[{i}] MISMATCH:", " ".join(args))
+        print("  rc", rc.returncode, rp.returncode)
+        ca, pa = flt(rc.stdout).splitlines(), flt(rp.stdout).splitlines()
+        for x, y in zip(ca, pa):
+            if x != y:
+                print("  C :", x[:120]); print("  PY:", y[:120]); break
+        ce, pe = flt(rc.stderr).splitlines(), flt(rp.stderr).splitlines()
+        for x, y in zip(ce, pe):
+            if x != y:
+                print("  Cerr :", x[:120]); print("  PYerr:", y[:120]); break
+print(f"fuzz done: {40 - fails}/40 chains identical")

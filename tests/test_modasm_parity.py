@@ -153,3 +153,54 @@ def test_cleanmods_last_read_off_by_one(tmp_path):
                     "-s", "2", "5", "10", "-w", str(mod)],
                    check=True, capture_output=True)
     run_pair(["-m", str(mod), "-f", str(reads), "-C", "-S"])
+
+
+def test_assemble_from_read_hash_double_quirk(tmp_path):
+    """assembleFromRead's hitHash doubles once >512 distinct hits collect;
+    the reference's hashDouble reuses a stale probe delta across relocated
+    keys (hash.c:126-155), so re-added keys duplicate and 'AR %d total
+    hits' over-reports.  Replicated in IHash::hDouble."""
+    rng = np.random.default_rng(55)
+    g = rng.integers(0, 4, size=120000).astype(np.uint8)
+    reads = tmp_path / "r.fa"
+    with open(reads, "w") as f:
+        for i in range(150):
+            st = int(rng.integers(0, 110000))
+            L = int(rng.integers(2000, 9000))
+            r = g[st:st + L]
+            if rng.integers(0, 2):
+                r = (r[::-1] ^ np.uint8(3))
+            f.write(f">q{i}\n{''.join(BASES[r])}\n")
+    ref = tmp_path / "ref.fa"
+    with open(ref, "w") as f:
+        f.write(">g\n" + "".join(BASES[g[:30000]]) + "\n")
+    mod = tmp_path / "A.mod"
+    mu = harness.build_tool("modutils")
+    subprocess.run([str(mu), "-c", "20", "16", "16", "17", "-a", str(reads),
+                    "-s", "4", "18", "40", "-w", str(mod)],
+                   check=True, capture_output=True)
+    r_c, _ = run_pair(["-m", str(mod), "-f", str(reads), "-R", str(ref),
+                       "-a1", "2"])
+    assert "AR  " in r_c.stdout  # the hash actually exercised
+
+
+def test_testmods_without_ref_creates_side_files(dataset, tmp_path):
+    """-T before -R: the reference opens YY/ZZ side files BEFORE the
+    modInfo check (modasm.c:604-609), leaving empty files next to the
+    'need to run -R first' fatal error."""
+    d = dataset
+    ma = harness.build_tool("modasm")
+    cw, pw = tmp_path / "cw", tmp_path / "pw"
+    cw.mkdir(); pw.mkdir()
+    r_c = subprocess.run([str(ma), "-m", str(d / "X.mod"),
+                          "-f", str(d / "reads.fa"), "-T", "2", "50"],
+                         capture_output=True, text=True, cwd=str(cw))
+    r_p = subprocess.run([sys.executable, os.path.join(REPO, "bin", "modasm"),
+                          "-m", str(d / "X.mod"), "-f", str(d / "reads.fa"),
+                          "-T", "2", "50"],
+                         capture_output=True, text=True, cwd=str(pw))
+    assert r_c.returncode == r_p.returncode == 255
+    for w in (cw, pw):
+        assert (w / "YY-TEST1").read_bytes() == b""
+        assert (w / "ZZ-TEST1").read_bytes() == b""
+    assert strip_timing(r_c.stderr) == strip_timing(r_p.stderr)
