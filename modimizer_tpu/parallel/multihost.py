@@ -65,8 +65,11 @@ class MultiHostModsetBuilder(ShardedModsetBuilder):
     def feed_stream(self, codes: np.ndarray, offsets: np.ndarray,
                     base: int = 0):
         """codes/offsets: THIS host's shard of the global stream; base: its
-        global position offset.  Every process must call this in lockstep
-        with the same number of chunks (pad with empty calls if uneven)."""
+        global position offset.  Shards may be uneven: the step count is
+        agreed globally (max over processes), and hosts that run out of
+        data keep participating with empty (all-invalid) chunks so the
+        collectives stay in lockstep."""
+        from jax.experimental import multihost_utils
         from ..ops.packed import pack_bits, pack_sw
         from ..ops.seqhash import _validity
         sh = self.sh
@@ -81,6 +84,10 @@ class MultiHostModsetBuilder(ShardedModsetBuilder):
         # device d_global owns slice [d_local * C, ...) of this host's shard
         local_super = n_local * C
         n_steps = max(1, -(-max(n_total, 1) // local_super))
+        if jax.process_count() > 1:
+            all_steps = np.asarray(multihost_utils.process_allgather(
+                np.array([n_steps], np.int64), tiled=True)).reshape(-1)
+            n_steps = int(all_steps.max())
         for step_i in range(n_steps):
             s = step_i * local_super
             sws, vbs, gps = [], [], []

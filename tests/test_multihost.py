@@ -38,12 +38,15 @@ rng = np.random.default_rng(77)   # same stream on both hosts
 lens = rng.integers(60, 400, size=120)
 codes = rng.integers(0, 4, size=int(lens.sum())).astype(np.uint8)
 offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-# split the global stream at a read boundary: host 0 gets the first half
-half = int(offsets[60])
+# split the global stream at a read boundary; SPLIT_READ controls how
+# unevenly (uneven shards exercise the global step agreement)
+SPLIT_READ = int(os.environ.get("MH_SPLIT_READ", "60"))
+half = int(offsets[SPLIT_READ])
 if pid == 0:
-    my_codes, my_off, base = codes[:half], offsets[:61], 0
+    my_codes, my_off, base = codes[:half], offsets[:SPLIT_READ + 1], 0
 else:
-    my_codes, my_off, base = codes[half:], offsets[60:] - half, half
+    my_codes, my_off, base = (codes[half:], offsets[SPLIT_READ:] - half,
+                              half)
 
 mesh = build_mesh()
 b = MultiHostModsetBuilder(sh, mesh, chunk_per_dev=1 << 11,
@@ -58,16 +61,20 @@ print("WORKER", pid, "OK", len(ks))
 
 @pytest.mark.skipif(os.environ.get("MODIMIZER_SKIP_MULTIHOST") == "1",
                     reason="multihost test disabled")
-def test_two_process_build_matches_sequential(tmp_path):
+@pytest.mark.parametrize("split_read", [60, 104])
+def test_two_process_build_matches_sequential(tmp_path, split_read):
+    """split 60 = even halves; split 104 = uneven shards with different
+    per-host step counts (exercises the global step agreement)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     coord = f"127.0.0.1:{port}"
     script = tmp_path / "worker.py"
     script.write_text(WORKER % {"repo": REPO})
+    env = {**os.environ, "MH_SPLIT_READ": str(split_read)}
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(pid), coord, str(tmp_path)],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)
         for pid in range(2)]
     outs = [p.communicate(timeout=300) for p in procs]
     for p, (o, e) in zip(procs, outs):
