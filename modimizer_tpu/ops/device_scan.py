@@ -1,5 +1,15 @@
 """Device (TPU/XLA) scan kernel, split out so host-path CLI runs never
-import jax (which costs ~2 s on this host)."""
+import jax (which costs ~2 s on this host).
+
+Per-chunk pipeline (re-design of the reference's sequential rolling
+iterator, seqhash.c:154-196): phase-major funnel scan + per-block MXU
+compaction (parallel/sharded.py _scan_compact_core).  The compacted rows
+come back sentinel-padded in block-major order and the *host* restores
+exact stream order with one cheap sort by (pos << 1 | isF) — a deliberate
+split: a device-side lax.sort would be semantically identical but costs
+minutes of XLA compile time on this backend, while the host sort of ~C/w
+rows is tens of milliseconds.  Device->host traffic stays proportional to
+matches (~C/w of positions), not positions."""
 
 import functools
 
@@ -10,43 +20,38 @@ modimizer_tpu.configure_jax()
 import jax
 import jax.numpy as jnp
 
-from .packed import (canonical_hashes, derive_tw, extract_kmers,
-                     mod_is_zero)
+from ..parallel.sharded import BLK, _scan_compact_core
+
+
+def scan_bo(w: int) -> int:
+    """Output rows per BLK-position compaction block: mean + 6 sigma of the
+    Binomial(BLK, 1/w) emit count (overflow is flagged and the caller
+    rescans)."""
+    import math
+    mean = max(1, BLK // w)
+    want = mean + 6 * max(1, math.isqrt(mean))
+    return int(min(BLK, max(8, ((want + 7) // 8) * 8)))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "cap"))
-def _scan_chunk(sw, m, *, k, w, factor1, cap):
-    """Packed-stream scan of C positions (C = 32*(len(sw)-1)).
+                   static_argnames=("k", "w", "factor1", "bo"))
+def _scan_chunk(sw, m, *, k, w, factor1, bo):
+    """Packed-stream scan of C positions (C = 32*(len(sw)-2)).
 
-    Emitted rows are compacted by ONE unstable 3-column sort whose key embeds
-    the stream position (emitted-first), so the compacted rows come out in
-    exact stream order with no gathers (TPU gathers serialize; sorts move
-    payload columns at memory speed).
-
-    sw: u64 [C/32 + 1] (halo word).  m: i32 live-position count.
-    Returns (kmers u64 [cap], meta u64 [cap] = (pos << 1) | isF, total i32).
-    Rows beyond cap are dropped; total reports the true count so the caller
-    can fall back to a host rescan.
-    """
-    C = 32 * (sw.shape[0] - 1)
-    tw = derive_tw(sw)
-    h, hrc = extract_kmers(sw, tw, k, C)
-    hashes, kmers, isF = canonical_hashes(h, hrc, k, factor1)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[:, 0]
-    emit = mod_is_zero(hashes, w) & (pos < m)
-    khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    meta32 = ((pos.astype(jnp.uint32) << jnp.uint32(1))
-              | isF.astype(jnp.uint32))
-    keypos = jnp.where(emit, pos.astype(jnp.uint32),
-                       pos.astype(jnp.uint32) | jnp.uint32(0x80000000))
-    _sk, shi, slo, sm = jax.lax.sort((keypos, khi, klo, meta32), num_keys=1,
-                                     is_stable=False)
-    total = jnp.sum(emit).astype(jnp.int32)
-    out_k = ((shi[:cap].astype(jnp.uint64) << jnp.uint64(32))
-             | slo[:cap].astype(jnp.uint64))
-    out_m = sm[:cap].astype(jnp.uint64)
-    return out_k, out_m, total
-
-
+    sw: u64 [C/32 + 2] (big-endian-packed words + halo).  m: i32 live-
+    position count.  Returns (kmers [C/BLK*bo] sentinel-padded block-major,
+    meta u32 [C/BLK*bo] = (pos << 1) | isF with 0xFFFFFFFF sentinels,
+    total i32).  total < 0 signals a block overflow (some rows dropped):
+    the caller re-runs with a wider bo or falls back to a host rescan."""
+    C = 32 * (sw.shape[0] - 2)
+    NW = C // 32
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 0)
+    pos = (jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 1) * jnp.uint32(32)
+           + rows)
+    valid = pos < jnp.uint32(m)
+    out_k, out_meta, n_emit, overflow = _scan_compact_core(
+        sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=True)
+    total = jnp.where(overflow, jnp.int32(-1), n_emit.astype(jnp.int32))
+    if k <= 16:  # kmer fits u32: halve the device->host bytes
+        return out_k.astype(jnp.uint32), out_meta, total
+    return out_k, out_meta, total

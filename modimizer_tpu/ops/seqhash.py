@@ -102,7 +102,8 @@ class ModimizerScanner:
         self.sh = sh
         chunk = max(BLOCK, (chunk // BLOCK) * BLOCK)
         self.chunk = chunk
-        self.cap = int(min(chunk, max(4096, 2 * chunk // sh.w)))
+        from .device_scan import scan_bo
+        self.bo = scan_bo(sh.w)
         self.want_isf = want_isf
         self.max_inflight = 4
         self.host_threshold = (self.default_host_threshold()
@@ -116,10 +117,10 @@ class ModimizerScanner:
         C = self.chunk
         NW = C // 32
         seg = codes[s:s + C + k - 1]
-        sw = pack_sw(seg, NW + 1)
+        sw = pack_sw(seg, NW + 2)
         return _scan_chunk(
             jnp.asarray(sw), jnp.int32(m),
-            k=k, w=self.sh.w, factor1=self.sh.factor1, cap=self.cap)
+            k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo)
 
     def scan_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """codes: uint8/int8 [N] (values 0..3), offsets: int64 [n_reads+1]."""
@@ -137,11 +138,18 @@ class ModimizerScanner:
         def drain(entry):
             s, m, (km, meta, total) = entry
             total = int(total)
-            if total > self.cap:
+            if total < 0:  # block-bo overflow: rows dropped — exact fallback
                 self._rescan_chunk(s, m, codes, offsets, out_k, out_p, out_f)
                 return
-            km = np.asarray(km[:total])
-            meta = np.asarray(meta[:total])
+            # rows arrive sentinel-padded in block-major order; the host
+            # restores stream order (device lax.sort costs minutes of XLA
+            # compile on this backend; this sort of ~C/w rows is ~ms)
+            km = np.asarray(km)
+            meta = np.asarray(meta)
+            live = meta != np.uint32(0xFFFFFFFF)
+            km, meta = km[live].astype(np.uint64), meta[live]
+            order = np.argsort(meta, kind="stable")
+            km, meta = km[order], meta[order]
             gpos = s + (meta >> 1).astype(np.int64)
             isF = (meta & 1).astype(bool)
             ok, _rid = _validity_filter(gpos, offsets, k)

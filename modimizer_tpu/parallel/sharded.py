@@ -65,34 +65,6 @@ def _join64(hi, lo):
     return (hi.astype(jnp.uint64) << jnp.uint64(32)) | lo.astype(jnp.uint64)
 
 
-def sort_u64_with_payload(keys, *payloads):
-    """Sort u64 keys (ascending) with payloads via 2x u32 lexicographic keys
-    (portable: avoids emulated-64-bit comparators inside lax.sort)."""
-    hi, lo = _split64(keys)
-    payload32 = []
-    shapes = []
-    for p in payloads:
-        if p.dtype == jnp.uint64:
-            ph, pl = _split64(p)
-            payload32 += [ph, pl]
-            shapes.append("u64")
-        else:
-            payload32.append(p)
-            shapes.append(None)
-    out = jax.lax.sort((hi, lo, *payload32), num_keys=2)
-    keys_s = _join64(out[0], out[1])
-    res = []
-    i = 2
-    for s in shapes:
-        if s == "u64":
-            res.append(_join64(out[i], out[i + 1]))
-            i += 2
-        else:
-            res.append(out[i])
-            i += 1
-    return (keys_s, *res)
-
-
 def _sort_multi(keys, payloads, is_stable=False):
     """lax.sort with u64 keys/payloads split into u32 pairs (TPU-friendly)."""
     cols = []
@@ -144,14 +116,14 @@ def sort_u64_with_payload(keys, *payloads):
 BLK = 1024  # positions per one-hot compaction block (n=1 path)
 
 
-def _scan_front(sw, vbits, *, k, factor1, C):
+def _scan_front(sw, *, k, factor1, C):
     """Phase-major scan front end shared by the single-chip compaction step
     and the multi-device routing step.
 
     Works on [32, NW] arrays (minor dim NW keeps the VPU's 128 lanes full;
     the position-major [NW, 32] layout pads 4x).  Element [r, i] is stream
-    position 32 i + r.  Returns (hashes u64, canonical kmers u64, valid
-    bool, pos u32) — all [32, NW]."""
+    position 32 i + r.  Returns (hashes u64, canonical kmers u64, pos u32,
+    isF bool) — all [32, NW]."""
     NW = C // 32
     tw = derive_tw(sw)
     shift1 = jnp.uint64(64 - 2 * k)
@@ -175,18 +147,24 @@ def _scan_front(sw, vbits, *, k, factor1, C):
     isF = hf < hr
     hashes = jnp.where(isF, hf, hr)
     kmers = jnp.where(isF, h, hrc)
-    # validity: vb32[i] holds the bits of positions 32i..32i+31
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 0)
+    pos = (jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 1) * jnp.uint32(32)
+           + rows)
+    return hashes, kmers, pos, isF
+
+
+def _expand_valid(vbits, C):
+    """[32, NW] validity mask from the packed little-endian bit words:
+    vb32[i] holds the bits of positions 32i..32i+31."""
+    NW = C // 32
     vlo = (vbits & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     vhi = (vbits >> jnp.uint64(32)).astype(jnp.uint32)
     vb32 = jnp.stack([vlo, vhi], axis=1).reshape(-1)   # [NW]
     rows = jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 0)
-    valid = ((vb32[None, :] >> rows) & jnp.uint32(1)).astype(jnp.bool_)
-    pos = (jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 1) * jnp.uint32(32)
-           + rows)
-    return hashes, kmers, valid, pos
+    return ((vb32[None, :] >> rows) & jnp.uint32(1)).astype(jnp.bool_)
 
 
-def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
+def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False):
     """Single-device scan step with MXU compaction, phase-major layout.
 
     All elementwise work runs on [32, NW] arrays (minor dim NW keeps the
@@ -205,13 +183,19 @@ def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
     global sort and ~40x faster than top_k + gathers on v5e — TPU has no
     vector scatter, so compaction must be expressed as dense algebra.
 
-    bo = output rows per BLK positions (block overflow flagged).  Returns
-    (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos u32,
+    bo = output rows per BLK positions (block overflow flagged).  valid is
+    the [32, NW] position mask (from _expand_valid or pos-bound logic).
+    With meta_isf the pos column carries (pos << 1) | isF instead.  Returns
+    (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos/meta u32,
     n_emit, overflow)."""
     nb = C // BLK
-    hashes, kmers, valid, pos = _scan_front(sw, vbits, k=k, factor1=factor1,
-                                            C=C)
+    hashes, kmers, pos, isF = _scan_front(sw, k=k, factor1=factor1, C=C)
+    if meta_isf:
+        pos = (pos << jnp.uint32(1)) | isF.astype(jnp.uint32)
     emit = valid & mod_is_zero(hashes, w)
+    import os
+    if os.environ.get("MODIMIZER_COMPACT", "onehot") == "butterfly":
+        return _compact_blocks_butterfly(kmers, pos, emit, k=k, C=C, bo=bo)
     klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     # limb count scales with k: a kmer is 2k bits (khi limbs drop out for
@@ -262,11 +246,55 @@ def _scan_compact_core(sw, vbits, *, k, w, factor1, C, bo):
     return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
 
+def _compact_blocks_butterfly(kmers, pos, emit, *, k, C, bo):
+    """Alternative compaction backend: per-block stream compaction by a
+    butterfly of conditional rolls (log2(BLK) stages) instead of the one-hot
+    matmul.  Correctness: displacements are monotone non-decreasing in
+    position, so routing bit-by-bit (ascending) is collision-free, and a
+    wrapped roll arrival can never be taken (an element at in-block position
+    j has displacement <= j < 2^b).  Output is bit-identical to the one-hot
+    backend (same rows, same slots, same sentinels)."""
+    nb = C // BLK
+    e2 = emit.reshape(nb, BLK)
+    # exclusive in-block cumsum on the MXU (counts <= BLK are exact in f32)
+    slt = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+           < jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+           ).astype(jnp.bfloat16)
+    csum = jax.lax.dot_general(e2.astype(jnp.bfloat16), slt,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.uint32)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1)
+    move = jnp.where(e2, iota - csum, jnp.uint32(0))
+    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32).reshape(nb, BLK)
+    cols = [klo, pos.reshape(nb, BLK)]
+    if k > 16:
+        cols.append((kmers >> jnp.uint64(32)).astype(jnp.uint32)
+                    .reshape(nb, BLK))
+    for b in range(BLK.bit_length() - 1):
+        s = 1 << b
+        move_sh = jnp.roll(move, -s, axis=1)
+        arrive = ((move_sh >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        leave = ((move >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        cols = [jnp.where(arrive, jnp.roll(c, -s, axis=1), c) for c in cols]
+        move = jnp.where(arrive, move_sh - jnp.uint32(s),
+                         jnp.where(leave, jnp.uint32(0), move))
+    cnts = (csum[:, -1] + e2[:, -1].astype(jnp.uint32)).astype(jnp.int32)
+    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    okhi = cols[2][:, :bo] if k > 16 else jnp.zeros((nb, bo), jnp.uint32)
+    okmer = _join64(okhi, cols[0][:, :bo])
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, cols[1][:, :bo],
+                      jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    n_emit = jnp.sum(emit).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "factor1", "C", "bo"))
 def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
-    return _scan_compact_core(sw, vbits, k=k, w=w, factor1=factor1, C=C,
-                              bo=bo)
+    return _scan_compact_core(sw, _expand_valid(vbits, C), k=k, w=w,
+                              factor1=factor1, C=C, bo=bo)
 
 
 @functools.partial(jax.jit,
@@ -278,7 +306,8 @@ def _scan_compact_local_packed(buf, *, k, w, factor1, C, bo):
     NW = C // 32
     sw = buf[:NW + 2]
     vb = buf[NW + 2:NW + 2 + C // 64]
-    return _scan_compact_core(sw, vb, k=k, w=w, factor1=factor1, C=C, bo=bo)
+    return _scan_compact_core(sw, _expand_valid(vb, C), k=k, w=w,
+                              factor1=factor1, C=C, bo=bo)
 
 
 @functools.partial(jax.jit,
@@ -293,8 +322,9 @@ def sharded_scan_route(sw, vbits, gpos_base, *, k, w, factor1, cap, n_shards,
 
     def step(sw_l, vb_l, base_l):
         sw_l, vb_l, base_l = sw_l[0], vb_l[0], base_l[0, 0]
-        hashes2, kmers2, valid2, pos2 = _scan_front(sw_l, vb_l, k=k,
-                                                    factor1=factor1, C=C)
+        hashes2, kmers2, pos2, _isF2 = _scan_front(sw_l, k=k,
+                                                   factor1=factor1, C=C)
+        valid2 = _expand_valid(vb_l, C)
         hashes = hashes2.reshape(-1)
         kmers = kmers2.reshape(-1)
         emit = (valid2 & mod_is_zero(hashes2, w)).reshape(-1)
