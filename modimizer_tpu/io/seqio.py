@@ -497,6 +497,19 @@ def read_seq_file(filename, convert=None, is_qual=False, want_ids=True):
     if ftype == ONE:
         from .onecode import read_one_seq
         return read_one_seq(data, convert, is_qual, want_ids), ONE
+    # not >/@/b/1: the reference hands these to htslib (seqio.c:47-148);
+    # our native BAM/SAM layer takes them (io/bamio.py)
+    from . import bamio
+    if bamio.is_bam(data):
+        return bamio.parse_bam(data, convert, is_qual, want_ids,
+                               filename), BAM
+    if bamio.is_cram(data):
+        raise ValueError(
+            f"{filename} is a CRAM file; CRAM decoding needs its codec "
+            "stack (htslib) — convert with 'samtools view -b' first")
+    if bamio.looks_like_sam(data):
+        return bamio.parse_sam(data, convert, is_qual, want_ids,
+                               filename), BAM
     raise ValueError(f"sequence file {filename} is unknown type")
 
 
