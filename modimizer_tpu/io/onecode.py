@@ -977,6 +977,31 @@ class OneFile:
             else:
                 _die("unknown header line type %s", t)
 
+    # -------------- random access (binary files with footer index) -------
+
+    def goto_object(self, i: int) -> bool:
+        """oneGotoObject (ONElib.c:1491-1499): position so the next
+        read_line returns object i's first line (0-based).  Requires a
+        binary file whose footer object index was read."""
+        if (self.is_index_in and self.object_type
+                and 0 <= i < len(self.object_index)):
+            self.f.seek(self.object_index[i])
+            self.object = i
+            return True
+        return False
+
+    def goto_group(self, i: int):
+        """oneGotoGroup (ONElib.c:1501-1509): position at group i's first
+        object; returns the group's object count, 0 on failure.  The '*'
+        footer list holds each group's first object index plus a final
+        end-of-objects sentinel."""
+        if (self.is_index_in and self.group_type
+                and 0 <= i < len(self.group_index) - 1):
+            if not self.goto_object(self.group_index[i]):
+                return 0
+            return self.group_index[i + 1] - self.group_index[i]
+        return 0
+
     def read_line(self):
         """Returns the line type char, or None at end of data."""
         self.comment_buf = None

@@ -169,3 +169,59 @@ def test_int_list_binary_roundtrip(tmp_path):
             got.append(list(vf.one_int_list()))
     assert got == lists
     assert vf.object_index and len(vf.object_index) == len(lists)
+
+
+def test_goto_object_and_group(tmp_path):
+    """oneGotoObject/oneGotoGroup random access (ONElib.c:1491-1509) on a
+    binary file with groups: seek to object/group i, re-read, compare with a
+    sequential pass.  (User linetypes avoid o/q/s/u/w: their reference pack
+    codes collide with the universal ;&*/. codes, ONElib.c:159-165.)"""
+    import io as _io
+    import numpy as np
+    from modimizer_tpu.io.onecode import OneFile, OneSchema
+
+    schema = OneSchema.from_text(
+        "P 3 tst\nG g 1 3 INT\nO x 1 3 DNA\nD d 1 6 STRING\n")
+    buf = _io.BytesIO()
+    vf = OneFile.open_write_new(buf, schema, "tst", is_binary=True)
+    vf.add_provenance("t", "1", "cmd", "2026-01-01_00:00:00")
+    vf.write_header()
+    rng = np.random.default_rng(5)
+    seqs = []
+    per_group = [3, 1, 4, 2]
+    gi = 0
+    for g, n in enumerate(per_group):
+        vf.write_line("g", [n])
+        for _ in range(n):
+            sq = bytes(rng.choice(np.frombuffer(b"acgt", np.uint8),
+                                  int(rng.integers(4, 40))))
+            seqs.append(sq)
+            vf.write_line("x", [], sq)
+            vf.write_line("d", [], b"y%d" % gi)
+            gi += 1
+    vf.f.write(b"\n")
+    vf._write_footer()
+    raw = buf.getvalue()
+
+    rf = OneFile.open_read(_io.BytesIO(raw), schema, "tst")
+    assert rf is not None and rf.is_index_in
+    seq_read = []
+    while rf.read_line() is not None:
+        if rf.lineType == "x":
+            seq_read.append(bytes(rf.one_string_bytes()))
+    assert seq_read == seqs
+
+    rf2 = OneFile.open_read(_io.BytesIO(raw), schema, "tst")
+    for i in [5, 0, 9, 3, 7]:
+        assert rf2.goto_object(i)
+        assert rf2.read_line() == "x"
+        assert bytes(rf2.one_string_bytes()) == seqs[i]
+    assert not rf2.goto_object(len(seqs))
+    assert not rf2.goto_object(-1)
+    first = 0
+    for g, n in enumerate(per_group):
+        assert rf2.goto_group(g) == n
+        assert rf2.read_line() == "x"
+        assert bytes(rf2.one_string_bytes()) == seqs[first]
+        first += n
+    assert rf2.goto_group(len(per_group)) == 0
