@@ -48,7 +48,18 @@ def query_process(ref: Reference, filename, out, is_verbose):
         die("failed to read query sequence file %s", filename)
     scanner = ModimizerScanner(ms.hasher, want_isf=False)
     kmers, rid, rpos, _f = scanner.scan_batch(batch)
-    sidx = ms.find_batch(kmers)
+    if scanner.used_device:
+        # keep the lookup on device too: sorted-table binary search beats
+        # serial host probes once the query stream is device-resident scale
+        # (SURVEY section 7.5; host probe loop: native/modset_native.cpp)
+        if ref.device_table is None:
+            from ..parallel.lookup import DeviceTable
+            ref.device_table = DeviceTable(
+                ms.value[1:ms.max + 1],
+                np.arange(1, ms.max + 1, dtype=np.uint32), ms.hasher)
+        sidx = ref.device_table.find(kmers)
+    else:
+        sidx = ms.find_batch(kmers)
 
     n = batch.n
     seed_off = np.searchsorted(rid, np.arange(n + 1)).astype(np.int64)

@@ -29,6 +29,7 @@ class Reference:
         self.ms = ms
         self.size = size
         self.max = 0
+        self.device_table = None   # lazy sorted device table (-q seeding)
         self.index = np.zeros(0, np.uint32)
         self.offset = np.zeros(0, np.uint32)
         self.id = np.zeros(0, np.uint32)

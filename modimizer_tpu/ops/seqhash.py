@@ -106,6 +106,7 @@ class ModimizerScanner:
         self.bo = scan_bo(sh.w)
         self.want_isf = want_isf
         self.max_inflight = 4
+        self.used_device = False   # set per scan_stream call
         self.host_threshold = (self.default_host_threshold()
                                if host_threshold is None else host_threshold)
 
@@ -130,7 +131,9 @@ class ModimizerScanner:
         codes = np.ascontiguousarray(codes).view(np.uint8)
         offsets = np.asarray(offsets, np.int64)
         if n < self.host_threshold:
+            self.used_device = False
             return self._scan_host(codes, offsets)
+        self.used_device = True
         C = self.chunk
         pending = []
         out_k, out_p, out_f = [], [], []

@@ -142,3 +142,16 @@ def test_verbose_query(data):
     code, out, err = run_ours(argv)
     assert code == 0
     assert strip_timing(r.stdout.decode()) == strip_timing(out)
+
+
+def test_query_device_path(data, monkeypatch):
+    """-q with the device scan + device sorted-table lookup forced: Q/M
+    lines byte-identical to the reference (modmap.c:188-281)."""
+    d = data
+    monkeypatch.setenv("MODIMIZER_SCAN", "device")
+    argv = ["-K", "16", "-W", "13", "-S", "7", "-B", "20",
+            "-f", d / "ref.fa", "-q", d / "query.fa"]
+    r = harness.run_tool("modmap", argv)
+    code, out, err = run_ours(argv)
+    assert code == 0
+    assert strip_timing(r.stdout.decode()) == strip_timing(out)
