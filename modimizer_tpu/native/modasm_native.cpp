@@ -7,9 +7,13 @@
 // assembly walks — writing reference-identical text through FILE* sinks.
 //
 // Determinism notes (behaviors the reference's output depends on):
-//  - arraySort is glibc qsort (array.h:92); on this platform (glibc 2.36)
-//    that is mergesort for in-memory arrays, i.e. *stable*.  We call the
-//    system qsort with equivalent comparators so tie order matches exactly.
+//  - arraySort is glibc qsort (array.h:92); on glibc <= 2.36 that is a
+//    stable mergesort for in-memory arrays, and the reference's tie order
+//    (e.g. compareOverlap, modasm.c:300-304) depends on it.  glibc >= 2.37
+//    switched qsort to an unstable introsort, so we use std::stable_sort
+//    with equivalent less-than predicates: tie order is then guaranteed by
+//    the C++ standard on every host, matching the reference's behavior on
+//    the platforms its goldens were produced on.
 //  - the assembly walk's active-read set is the reference's open-addressed
 //    int HASH (hash.c): table-slot iteration order, LIFO free-list reuse of
 //    dense value slots, and doubling at a half-full guard all shape the
@@ -406,7 +410,10 @@ static void findOverlaps(RSView *v, I64 ix, int level, FILE *fo,
   }
 
   int nGood = 0, nBad = 0;
-  qsort(olap.data(), olap.size(), sizeof(Olap), olapCmp);
+  std::stable_sort(olap.begin(), olap.end(),
+                   [](const Olap &a, const Olap &b) {
+                     return olapCmp(&a, &b) < 0;
+                   });
   size_t k = 1;
   // NB the reference walks o from element 0 while k counts from 1, so the
   // last element (the burned slot, sorted to the end) is never examined
@@ -831,7 +838,10 @@ extern "C" void rs_test_mods(RSView *v, int minDepth, int maxDepth) {
     if (!(start.rd(start.max - 1) > 0)) die("assert failed: start last > 0");
     end.suffixSum();
     start.suffixSum();
-    qsort(test.data(), test.size(), sizeof(Test), testCmp);
+    std::stable_sort(test.begin(), test.end(),
+                     [](const Test &a, const Test &b) {
+                       return testCmp(&a, &b) < 0;
+                     });
 
     Test *t = test.data();
     int nMod = 0, nMod2 = 0, nGood = 0, nSplit = 0;
@@ -1380,7 +1390,8 @@ static void assembleFrom(RSView *v, std::vector<Link> &links, U32 from,
           dd[ddMax++] = a->dx;
         }
       }
-      qsort(dd.data(), ddMax, sizeof(int), intCmp);
+      std::stable_sort(dd.begin(), dd.begin() + ddMax,
+                       [](int a, int b) { return a < b; });
       dBest = (nBest / 2 < (int)dd.size()) ? dd[nBest / 2] : 0;
 
       hActive.iter = -1;
@@ -1419,7 +1430,10 @@ static void assembleFrom(RSView *v, std::vector<Link> &links, U32 from,
   }
   fprintf(so, "\nDONE\n");
 
-  qsort(layout.data(), layout.size(), sizeof(ALayout), layoutCmp);
+  std::stable_sort(layout.begin(), layout.end(),
+                   [](const ALayout &a, const ALayout &b) {
+                     return layoutCmp(&a, &b) < 0;
+                   });
   for (size_t i = 0; i < layout.size(); ++i) {
     ALayout *y = &layout[i];
     y->end += v->rlen[y->read];
@@ -1472,7 +1486,10 @@ extern "C" void rs_assemble_from_mod(RSView *v, U32 seed, int offset,
     }
     if (last) links.push_back(Link{last, 0, ir, (U32)len});
   }
-  qsort(links.data(), links.size(), sizeof(Link), linkCmp);
+  std::stable_sort(links.begin(), links.end(),
+                   [](const Link &a, const Link &b) {
+                     return linkCmp(&a, &b) < 0;
+                   });
 
   std::vector<int> iForward((size_t)v->msMax + 1, 0),
       iReverse((size_t)v->msMax + 1, 0);
