@@ -376,7 +376,8 @@ class OneInfo:
     __slots__ = ("field_types", "list_elt_size", "list_field", "comment",
                  "binary_type_pack", "list_codec", "is_use_list_codec",
                  "list_tack", "accum_count", "accum_max", "accum_total",
-                 "given_count", "given_max", "given_total", "buffer")
+                 "given_count", "given_max", "given_total", "buffer",
+                 "gmax_count", "gmax_total", "g_count", "g_total")
 
     def __init__(self, field_types, t):
         self.field_types = list(field_types)
@@ -388,6 +389,8 @@ class OneInfo:
         self.list_tack = 0
         self.accum_count = self.accum_max = self.accum_total = 0
         self.given_count = self.given_max = self.given_total = 0
+        self.gmax_count = self.gmax_total = 0
+        self.g_count = self.g_total = 0
         self.buffer = None
         for i, ft in enumerate(self.field_types):
             if ft in LIST_TYPES:
@@ -590,6 +593,7 @@ class OneFile:
         self.object_index = []
         self.group_index = []
         self.codec_training_size = 100000
+        self.in_group = False
         self.is_index_in = False
         self._start_off = 0
         self._binary_unpack = {}
@@ -696,6 +700,7 @@ class OneFile:
         vi.accum_count += 1
         if t == self.group_type:
             self.group += 1
+            self._update_group_count(True)
 
         # assemble the full field vector
         fvec = []
@@ -757,6 +762,14 @@ class OneFile:
                 payload, list_bytes = _compact_int_list(vals)
                 f.write(bytes([list_bytes]))
                 eff_len = list_len - 1
+            elif ft == REAL_LIST:
+                payload = np.asarray(data, "<f8").tobytes()
+                list_bytes = vi.list_elt_size
+                eff_len = list_len
+            elif ft == STRING_LIST:  # written as ASCII below (ONElib.c:2064)
+                payload = b""
+                list_bytes = vi.list_elt_size
+                eff_len = 0
             else:
                 payload = data if isinstance(data, (bytes, bytearray)) \
                     else bytes(data)
@@ -823,9 +836,27 @@ class OneFile:
                     self._write_string_list_ascii(vi, data)
         self.is_last_line_binary = False
 
+    def _update_group_count(self, is_group_line: bool):
+        """updateGroupCount (ONElib.c:714-739): per-group maxima for the
+        uppercase data types, folded at each group start and at close."""
+        for o in range(ord("A"), ord("Z") + 1):
+            vi = self.info.get(chr(o))
+            if vi is None:
+                continue
+            if self.in_group:
+                vi.gmax_count = max(vi.gmax_count,
+                                    vi.accum_count - vi.g_count)
+                vi.gmax_total = max(vi.gmax_total,
+                                    vi.accum_total - vi.g_total)
+            vi.g_count = vi.accum_count
+            vi.g_total = vi.accum_total
+        if is_group_line:
+            self.in_group = True
+
     def _write_footer(self):
         f = self.f
         foot_off = f.tell()
+        self._update_group_count(False)  # close the last group
         order = [chr(o) for o in range(ord("A"), ord("Z") + 1)]
         if self.group_type:
             order.append(self.group_type)
@@ -837,6 +868,12 @@ class OneFile:
             if vi.list_elt_size:
                 self._w("@ %s %d\n" % (t, vi.accum_max))
                 self._w("+ %s %d\n" % (t, vi.accum_total))
+            if (self.group_type and t != self.group_type and self.group > 0):
+                self._w("%% %s # %s %d\n" % (self.group_type, t,
+                                              vi.gmax_count))
+                if vi.list_elt_size:
+                    self._w("%% %s + %s %d\n" % (self.group_type, t,
+                                                  vi.gmax_total))
             if (vi.is_use_list_codec and vi.list_codec != DNA_CODEC):
                 self.write_line(";", [t], vi.list_codec.serialize())
         vi = self.info["/"]

@@ -71,3 +71,19 @@ def run_tool(name: str, args, cwd=None, check=True):
     exe = build_tool(name)
     return subprocess.run([str(exe)] + [str(a) for a in args],
                           capture_output=True, cwd=cwd, check=check)
+
+
+def build_one_driver() -> Path:
+    """Compile the ONElib oracle driver (tests/golden/one_driver.c) against
+    the reference's vendored ONElib.c."""
+    CACHE.mkdir(parents=True, exist_ok=True)
+    src = Path(__file__).parent / "one_driver.c"
+    h = hashlib.sha256(src.read_bytes())
+    h.update((REF / "ONElib.c").read_bytes())
+    exe = CACHE / f"one_driver-{h.hexdigest()[:16]}"
+    if not exe.exists():
+        subprocess.run(
+            ["gcc", "-O2", "-w", "-I", str(REF), "-o", str(exe), str(src),
+             str(REF / "ONElib.c"), "-lz", "-lm", "-lpthread"],
+            check=True, capture_output=True)
+    return exe

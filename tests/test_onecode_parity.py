@@ -225,3 +225,44 @@ def test_goto_object_and_group(tmp_path):
         assert bytes(rf2.one_string_bytes()) == seqs[first]
         first += n
     assert rf2.goto_group(len(per_group)) == 0
+
+
+def test_singleton_int_list_binary():
+    """1-element INT_LISTs in binary mode: the reference dies on these
+    before codec training (ONElib.c:2053-2080 writes the first element,
+    decrements listLen, then fwrite(0 bytes) != 1 -> die).  Our writer and
+    reader round-trip them."""
+    import io as _io
+    from modimizer_tpu.io.onecode import OneFile, OneSchema
+
+    schema = OneSchema.from_text("P 3 tst\nO x 1 8 INT_LIST\n")
+    buf = _io.BytesIO()
+    vf = OneFile.open_write_new(buf, schema, "tst", is_binary=True)
+    vf.write_header()
+    vf.write_line("x", [], [42])
+    vf.write_line("x", [], [7, -9])
+    vf.write_line("x", [], [123456789])
+    vf.f.write(b"\n")
+    vf._write_footer()
+    rf = OneFile.open_read(_io.BytesIO(buf.getvalue()), schema, "tst")
+    got = []
+    while rf.read_line() is not None:
+        got.append(list(rf.one_int_list()))
+    assert got == [[42], [7, -9], [123456789]]
+
+
+def test_foreign_schema_fuzz():
+    """Arbitrary user schemas (REAL_LIST/STRING_LIST-heavy) byte-compared
+    against the compiled ONElib oracle driver, ASCII + binary, write and
+    read directions (scripts/fuzz_onecode_schema.py)."""
+    import tempfile
+    from tests.golden import harness
+    if not harness.reference_available():
+        import pytest
+        pytest.skip("reference not mounted")
+    import scripts.fuzz_onecode_schema as F
+    driver = harness.build_one_driver()
+    for seed in (5000, 5001, 5002, 5003):
+        with tempfile.TemporaryDirectory() as td:
+            msg = F.run_case(seed, driver, td)
+        assert msg is None, msg
