@@ -1332,6 +1332,135 @@ def read_one_seq(data: bytes, convert, is_qual, want_ids):
                     quals=qarr)
 
 
+
+
+class ParallelOneSeqWriter:
+    """Parallel writing of ONE .1seq file — the green-field equivalent of
+    ONElib's master/slave threaded file handles (ONElib.c:1394-1412,
+    1544-1575, 2104-2128), which let nthreads writers share one file with
+    mutex-guarded codec training.
+
+    Design difference, deliberate: the reference's codec trains on whatever
+    data the racing slaves accumulate first, so its output depends on
+    thread timing.  Here each worker's codec state is *seeded* with the
+    exact cumulative histogram/byte-count its section would see in file
+    order, so training fires at the same line and builds the same codec as
+    a sequential write — the output is byte-identical to OneSeqWriter,
+    deterministically, for any worker count.
+
+    Workers encode contiguous record sections into memory buffers
+    concurrently; the master stitches sections, rebases the object index,
+    merges the per-linetype stats, and writes the footer."""
+
+    @staticmethod
+    def write(path_or_f, records, is_qual=False, n_threads=4,
+              filetype="seq", provenance_cmd=None):
+        """records: sequence of (seq_id, desc, seq_bytes, qual_or_None)."""
+        import concurrent.futures
+        import io as _io
+
+        records = list(records)
+        master = OneFile.open_write_new(path_or_f, seq_schema(), filetype,
+                                        is_binary=True)
+        cmd = (provenance_cmd if provenance_cmd is not None
+               else (" ".join(sys.argv) if sys.argv else "-"))
+        master.add_provenance("seqio", "1.0", cmd or "-")
+        master.write_header()
+
+        n_threads = max(1, min(n_threads, len(records) or 1))
+        bounds = [len(records) * i // n_threads
+                  for i in range(n_threads + 1)]
+
+        def lines_of(rec):
+            seq_id, desc, seq, qual = rec
+            if isinstance(seq, str):
+                seq = seq.encode("latin1")
+            out = [("S", None, seq)]
+            if seq_id:
+                out.append(("I", None, seq_id.encode("latin1")))
+                if desc:
+                    out.append(("/", None, desc.encode("latin1")))
+            if qual is not None and is_qual:
+                q = (np.asarray(qual, np.int16) + 33).astype(np.uint8)
+                out.append(("Q", None, q.tobytes()))
+            return out
+
+        # cumulative codec state (hist + trained bytes) at each section
+        # start, per trainable linetype — the seed that makes worker w see
+        # exactly the file-order prefix the sequential writer would
+        seeds = [dict() for _ in range(n_threads)]
+        state = {}
+        for w in range(n_threads):
+            for t, (h, tack, fired) in state.items():
+                seeds[w][t] = (h.copy(), tack, fired)
+            for rec in records[bounds[w]:bounds[w + 1]]:
+                for t, _f, data in lines_of(rec):
+                    vi = master.info[t]
+                    if vi.list_codec is DNA_CODEC or not vi.list_elt_size:
+                        continue
+                    h, tack, fired = state.get(
+                        t, (np.zeros(256, np.uint64), 0, False))
+                    if not fired:
+                        h = h + np.bincount(
+                            np.frombuffer(data, np.uint8),
+                            minlength=256).astype(np.uint64)
+                        tack += len(data)
+                        if tack > master.codec_training_size:
+                            fired = True
+                    state[t] = (h, tack, fired)
+
+        def write_section(w):
+            buf = _io.BytesIO()
+            vf = OneFile.open_write_new(buf, seq_schema(), filetype,
+                                        is_binary=True)
+            vf.is_header_out = True
+            vf.is_last_line_binary = (w != 0)  # header above ends in ASCII
+            for t, (h, tack, fired) in seeds[w].items():
+                vi = vf.info[t]
+                if fired:
+                    c = HuffCodec()
+                    c.hist = h.copy()
+                    c.create_codec(1)
+                    vi.list_codec = c
+                    vi.is_use_list_codec = True
+                else:
+                    c = HuffCodec()
+                    c.hist = h.copy()
+                    if h.any():
+                        c.state = HuffCodec.FILLED
+                    vi.list_codec = c
+                    vi.list_tack = tack
+            for rec in records[bounds[w]:bounds[w + 1]]:
+                for t, _f, data in lines_of(rec):
+                    if t == "/":
+                        vf.write_comment(data.decode("latin1"))
+                    else:
+                        vf.write_line(t, [], data)
+            return vf, buf.getvalue()
+
+        base = master.f.tell()
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as ex:
+            parts = list(ex.map(write_section, range(n_threads)))
+
+        for vf, blob in parts:
+            for i in vf.object_index:
+                master.object_index.append(base + i)
+            master.object += vf.object
+            for t, vi in vf.info.items():
+                mi = master.info[t]
+                mi.accum_count += vi.accum_count
+                mi.accum_total += vi.accum_total
+                mi.accum_max = max(mi.accum_max, vi.accum_max)
+                if vi.is_use_list_codec and not mi.is_use_list_codec:
+                    mi.list_codec = vi.list_codec
+                    mi.is_use_list_codec = True
+            master.f.write(blob)
+            base += len(blob)
+            master.is_last_line_binary = vf.is_last_line_binary
+        master.info["!"].accum_count = 1  # counted once, in the header
+        master.close()
+
+
 class OneSeqWriter:
     """ONE path of seqIOopenWrite/seqIOwrite (seqio.c:381-397,476-503)."""
 
