@@ -312,36 +312,37 @@ def _scan_compact_local_packed(buf, *, k, w, factor1, C, bo):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "factor1", "cap", "n_shards",
-                                    "C", "mesh"))
+                                    "C", "bo", "mesh"))
 def sharded_scan_route(sw, vbits, gpos_base, *, k, w, factor1, cap, n_shards,
-                       C, mesh):
-    """Multi-device path: scan each device's packed slice and route emitted
-    kmers to their owner shard with all_to_all over the mesh.  Returns
+                       C, bo, mesh):
+    """Multi-device path: scan each device's packed slice, compact emitted
+    rows per block (the same MXU one-hot step as the n=1 path), then route
+    the ~C/w compacted rows to their owner shard with all_to_all over the
+    mesh.  Compacting first shrinks the routing sort by ~w/(1+w*bo/BLK)
+    (it used to sort all C positions per step — the bulk of the sharded
+    path's 2x per-work overhead vs the n=1 fast path).  Returns
     (recv_k, recv_p u64 global positions) of shape [n_shards, n_shards*cap]
-    (sentinel-padded), per-shard emit counts and an overflow flag."""
+    (sentinel-padded), per-shard emit counts and an overflow flag
+    (block-compaction or routing-capacity; the caller widens both)."""
 
     def step(sw_l, vb_l, base_l):
         sw_l, vb_l, base_l = sw_l[0], vb_l[0], base_l[0, 0]
-        hashes2, kmers2, pos2, _isF2 = _scan_front(sw_l, k=k,
-                                                   factor1=factor1, C=C)
-        valid2 = _expand_valid(vb_l, C)
-        hashes = hashes2.reshape(-1)
-        kmers = kmers2.reshape(-1)
-        emit = (valid2 & mod_is_zero(hashes2, w)).reshape(-1)
-        # rows are phase-major (permuted within the chunk) — legal because
-        # gpos carries the true stream position and every downstream
-        # reduction is (kmer, pos)-sorted or min-by-pos
-        gpos = base_l + pos2.reshape(-1).astype(jnp.uint64)
-        n_emit = jnp.sum(emit).astype(jnp.int64)
+        ck, cp, n_emit, ovf_blk = _scan_compact_core(
+            sw_l, _expand_valid(vb_l, C), k=k, w=w, factor1=factor1, C=C,
+            bo=bo)
+        live = ck != U64_SENTINEL
+        # canonical hash from the compacted kmer (seqhash.h:58) for routing
+        hashes = (ck * jnp.uint64(factor1)) >> jnp.uint64(64 - 2 * k)
+        gpos = jnp.where(live, base_l + cp.astype(jnp.uint64), POS_INF)
         owner = div_mod_owner(hashes, w, n_shards)
 
         # sort real rows (key 2*owner) with cap pad rows per owner (2*o+1):
         # pad-to-cap by sorting, then gather group_start + rank — no scatter
-        key_real = jnp.where(emit, owner * 2, jnp.uint32(2 * n_shards))
+        key_real = jnp.where(live, owner * 2, jnp.uint32(2 * n_shards))
         key_pad = (jnp.arange(n_shards * cap, dtype=jnp.uint32) // cap) * 2 + 1
         allk = jnp.concatenate([key_real, key_pad])
-        allv = jnp.concatenate([kmers, jnp.full(n_shards * cap, U64_SENTINEL,
-                                                jnp.uint64)])
+        allv = jnp.concatenate([ck, jnp.full(n_shards * cap, U64_SENTINEL,
+                                             jnp.uint64)])
         allp = jnp.concatenate([gpos, jnp.full(n_shards * cap, POS_INF,
                                                jnp.uint64)])
         sk, sv, sp = _sort_multi([allk], [allv, allp])
@@ -349,7 +350,7 @@ def sharded_scan_route(sw, vbits, gpos_base, *, k, w, factor1, cap, n_shards,
                                                  dtype=jnp.uint32) * 2)
         ends = jnp.searchsorted(sk, jnp.arange(n_shards,
                                                dtype=jnp.uint32) * 2 + 1)
-        overflow = jnp.any((ends - starts) > cap)
+        overflow = ovf_blk | jnp.any((ends - starts) > cap)
         j = jnp.arange(n_shards * cap)
         idx = starts[j // cap] + (j % cap)
         send_k = jnp.take(sv, idx)
@@ -455,20 +456,17 @@ class ShardedModsetBuilder:
         # mesh.  Undersizing is safe: overflow triggers widen-and-replay.
         self.cap = cap or int(max(1024,
                                   4 * self.chunk / sh.w / mesh.devices.size))
-        if self.n == 1:
-            if cap:
-                want = cap * BLK // self.chunk
-            else:
-                # emits per block ~ Binomial(BLK, 1/w): mean + 6 sigma.
-                # Stride-32 blocks de-cluster bursts; a rare overflow is
-                # caught by the flag and replayed at double bo (exactness
-                # preserved, tests/test_sharded.py overflow case).
-                import math
-                mean = BLK // sh.w
-                want = mean + 6 * max(1, math.isqrt(mean))
-            self.bo = int(min(BLK, max(8, ((want + 7) // 8) * 8)))
+        if cap and self.n == 1:
+            want = cap * BLK // self.chunk
         else:
-            self.bo = 0
+            # emits per block ~ Binomial(BLK, 1/w): mean + 6 sigma.
+            # Stride-32 blocks de-cluster bursts; a rare overflow is
+            # caught by the flag and replayed at double bo (exactness
+            # preserved, tests/test_sharded.py overflow case).
+            import math
+            mean = BLK // sh.w
+            want = mean + 6 * max(1, math.isqrt(mean))
+        self.bo = int(min(BLK, max(8, ((want + 7) // 8) * 8)))
         n, S = self.n, self.S
         self.state_k = jnp.full((n, S), U64_SENTINEL, jnp.uint64)
         self.state_d = jnp.zeros((n, S), jnp.uint32)
@@ -490,9 +488,8 @@ class ShardedModsetBuilder:
         return self.n * self.cap
 
     def _widen(self):
-        if self.n == 1:
-            self.bo = min(BLK, self.bo * 2)
-        else:
+        self.bo = min(BLK, self.bo * 2)
+        if self.n > 1:
             self.cap *= 2
 
     def _grow(self, new_S):
@@ -521,7 +518,8 @@ class ShardedModsetBuilder:
                                        bo=self.bo)
         return sharded_scan_route(
             *inputs, k=sh.k, w=sh.w, factor1=sh.factor1,
-            cap=self.cap, n_shards=self.n, C=self.chunk, mesh=self.mesh)
+            cap=self.cap, n_shards=self.n, C=self.chunk, bo=self.bo,
+            mesh=self.mesh)
 
     def _append(self, out, base):
         self.recv_k.append(out[0])
