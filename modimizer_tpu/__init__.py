@@ -48,9 +48,14 @@ def configure_jax():
     # and the CPU-mesh tests).  Re-assert the user's choice.
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # per-platform cache dirs: entries AOT-compiled through the remote TPU
+    # tunnel carry that machine's CPU features and poison local CPU runs
+    # (cpu_aot_loader "machine feature" errors + silent recompiles)
+    plat = os.environ.get("JAX_PLATFORMS", "") or "default"
     cache_dir = os.environ.get(
         "MODIMIZER_XLA_CACHE",
-        os.path.expanduser("~/.cache/modimizer_tpu_xla"))
+        os.path.expanduser("~/.cache/modimizer_tpu_xla-"
+                           + plat.replace(",", "_")))
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -21,16 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from ..parallel.sharded import BLK, _scan_compact_core
+from .seqhash import BLK_COMPACT, scan_bo  # noqa: F401  (re-export)
 
-
-def scan_bo(w: int) -> int:
-    """Output rows per BLK-position compaction block: mean + 6 sigma of the
-    Binomial(BLK, 1/w) emit count (overflow is flagged and the caller
-    rescans)."""
-    import math
-    mean = max(1, BLK // w)
-    want = mean + 6 * max(1, math.isqrt(mean))
-    return int(min(BLK, max(8, ((want + 7) // 8) * 8)))
+assert BLK_COMPACT == BLK  # keep the jax-free mirror honest
 
 
 @functools.partial(jax.jit,

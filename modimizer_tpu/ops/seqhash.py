@@ -29,6 +29,18 @@ from ..core.seqhash import Seqhash
 
 DEFAULT_CHUNK = 1 << 25  # 32 Mbase per device dispatch
 BLOCK = 4096             # positions per compaction block
+BLK_COMPACT = 1024       # parallel.sharded.BLK (mirrored here so host-only
+                         # CLI paths never import jax just to size buffers)
+
+
+def scan_bo(w: int) -> int:
+    """Output rows per BLK-position compaction block: mean + 6 sigma of the
+    Binomial(BLK, 1/w) emit count (overflow is flagged and the caller
+    rescans)."""
+    import math
+    mean = max(1, BLK_COMPACT // w)
+    want = mean + 6 * max(1, math.isqrt(mean))
+    return int(min(BLK_COMPACT, max(8, ((want + 7) // 8) * 8)))
 
 U64 = np.uint64
 
@@ -102,7 +114,6 @@ class ModimizerScanner:
         self.sh = sh
         chunk = max(BLOCK, (chunk // BLOCK) * BLOCK)
         self.chunk = chunk
-        from .device_scan import scan_bo
         self.bo = scan_bo(sh.w)
         self.want_isf = want_isf
         self.max_inflight = 4
