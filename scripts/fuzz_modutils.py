@@ -57,7 +57,9 @@ fails = 0
 for i in range(40):
     args = chain(i)
     dc, dp = f"{D}/c{i}", f"{D}/p{i}"
-    os.makedirs(dc, exist_ok=True); os.makedirs(dp, exist_ok=True)
+    import shutil
+    shutil.rmtree(dc, ignore_errors=True); shutil.rmtree(dp, ignore_errors=True)
+    os.makedirs(dc); os.makedirs(dp)
     rc = subprocess.run([MU] + args, capture_output=True, cwd=dc, timeout=120)
     rp = subprocess.run(PY + args, capture_output=True, cwd=dp, timeout=300,
                         env={**os.environ, "MODIMIZER_SCAN": "host"})
