@@ -99,14 +99,19 @@ def timed_pair(name, tool, arg_lists, fixture=None):
     env = {**os.environ, "MODIMIZER_SCAN": "host"}
     env.pop("PALLAS_AXON_POOL_IPS", None)
     out = {}
+    reps = int(os.environ.get("MODIMIZER_BENCH_REPS", "2"))
     for side, prefix in (("ref", [bin_ref]), ("ours", bin_ours)):
         d = os.path.join(DATA, f"{name}_{side}")
         os.makedirs(d, exist_ok=True)
         if fixture:
             fixture(d)
-        out[side] = sum(_run(prefix + [str(a) for a in args], d,
-                             env=env if side == "ours" else None)
-                        for args in arg_lists)
+        # min over reps: this 1-core VM has heavy steal-time noise (>20%
+        # swings run to run), and min-of-n is the standard de-noiser
+        out[side] = min(
+            sum(_run(prefix + [str(a) for a in args], d,
+                     env=env if side == "ours" else None)
+                for args in arg_lists)
+            for _ in range(reps))
     return out["ref"], out["ours"]
 
 

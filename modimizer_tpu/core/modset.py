@@ -279,6 +279,7 @@ class Modset:
         ms.size = size if size else (ms.table_size >> 2) - 1
         ts = ms.table_size
         # one writable copy of the whole payload instead of four .copy()s
+        # (read_maybe_gz already hands us a bytearray, making this free)
         buf = bytearray(data) if not isinstance(data, bytearray) else data
         ms.index = np.frombuffer(buf, np.uint32, ts, off); off += 4 * ts
         ms.value = np.frombuffer(buf, np.uint64, size, off); off += 8 * size

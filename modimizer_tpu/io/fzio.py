@@ -27,10 +27,14 @@ class GzWriter:
         self._len = 0
         self._f.write(_GZ_HEADER)
 
-    def write(self, data: bytes):
-        data = bytes(data)
+    def write(self, data):
+        # zero-copy: crc32/compress take any C-contiguous buffer (numpy
+        # arrays included) — a bytes() copy here doubled the write cost of
+        # the multi-hundred-MB .mod/.ref payloads
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            data = memoryview(data).cast("B")
         self._crc = zlib.crc32(data, self._crc)
-        self._len += len(data)
+        self._len += data.nbytes if isinstance(data, memoryview) else len(data)
         out = self._c.compress(data)
         if out:
             self._f.write(out)
@@ -49,13 +53,16 @@ class GzWriter:
         self.close()
 
 
-def read_maybe_gz(path) -> bytes:
-    """Read a whole file, transparently decompressing gzip (like gzread)."""
+def read_maybe_gz(path) -> bytearray:
+    """Read a whole file, transparently decompressing gzip (like gzread).
+
+    Returns a writable bytearray so structure loaders (Modset.from_bytes)
+    can wrap the payload without another whole-buffer copy."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:2] == b"\x1f\x8b":
-        return zlib.decompress(data, 16 + zlib.MAX_WBITS)
-    return data
+        return bytearray(zlib.decompress(data, 16 + zlib.MAX_WBITS))
+    return bytearray(data)
 
 
 def open_maybe_gz(path):
