@@ -154,16 +154,19 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     out = step(dep)
     int(np.asarray(out[2]))  # warm + true sync
     reps = 16
-    t0 = time.perf_counter()
-    dep = jnp.int64(0)
-    for _ in range(reps):
-        out = step(dep)
-        dep = out[2]
-    int(np.asarray(dep))
-    t1 = time.perf_counter()
-    chip = reps * C / (t1 - t0)
+    best = None
+    for _batch in range(3):  # best-of-3: the shared chip has >15% swings
+        t0 = time.perf_counter()
+        dep = jnp.int64(0)
+        for _ in range(reps):
+            out = step(dep)
+            dep = out[2]
+        int(np.asarray(dep))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    chip = reps * C / best
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
-        f"({(t1-t0)/reps*1e3:.1f} ms/step of {C})")
+        f"({best/reps*1e3:.1f} ms/step of {C}, best of 3 batches)")
     return chip
 
 
