@@ -32,8 +32,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from ..ops.packed import div_mod_owner
-from .sharded import (U64_SENTINEL, _join64, _sort_multi, build_mesh,
-                      shard_map)
+from .sharded import U64_SENTINEL, _sort_multi, build_mesh, shard_map
 
 
 def _hash_of(kmers, factor1, shift1):

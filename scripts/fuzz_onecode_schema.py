@@ -5,8 +5,6 @@ binary (Huffman-trained) forms, plus reader cross-checks.
 Usage: python scripts/fuzz_onecode_schema.py [n_cases] [seed0]
 """
 
-import io
-import os
 import subprocess
 import sys
 import tempfile
