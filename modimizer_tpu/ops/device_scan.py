@@ -26,16 +26,60 @@ from .seqhash import BLK_COMPACT, scan_bo  # noqa: F401  (re-export)
 assert BLK_COMPACT == BLK  # keep the jax-free mirror honest
 
 
+def _densify(out_k, out_meta, bo, cap):
+    """Butterfly-compact the sentinel-padded [nb*bo] block rows into the
+    first n_emit slots (then slice to cap) — 21 conditional-roll stages
+    instead of a lax.sort, whose XLA compile costs minutes on this backend.
+    Correct for the same reason as the block butterfly: displacements are
+    monotone non-decreasing, and a wrapped arrival's remaining move is
+    always smaller than its position."""
+    nb = out_k.shape[0] // bo
+    live = out_meta != jnp.uint32(0xFFFFFFFF)
+    # exclusive global live-count: within-block via an SLT matmul (counts
+    # <= bo are exact in f32), block bases via a short cumsum over [nb]
+    l2 = live.reshape(nb, bo)
+    slt = (jax.lax.broadcasted_iota(jnp.int32, (bo, bo), 0)
+           < jax.lax.broadcasted_iota(jnp.int32, (bo, bo), 1)
+           ).astype(jnp.bfloat16)
+    within = jax.lax.dot_general(l2.astype(jnp.bfloat16), slt,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.uint32)
+    per_blk = jnp.sum(l2.astype(jnp.uint32), axis=1)
+    bases = jnp.concatenate([jnp.zeros(1, jnp.uint32),
+                             jnp.cumsum(per_blk)[:-1].astype(jnp.uint32)])
+    excl = (bases[:, None] + within).reshape(-1)
+    n = out_k.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    move = jnp.where(live, idx - excl, jnp.uint32(0))
+    ck, cm = out_k, out_meta
+    for b in range((n - 1).bit_length()):
+        sft = 1 << b
+        move_sh = jnp.roll(move, -sft)
+        arrive = ((move_sh >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        leave = ((move >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        ck = jnp.where(arrive, jnp.roll(ck, -sft), ck)
+        cm = jnp.where(arrive, jnp.roll(cm, -sft), cm)
+        move = jnp.where(arrive, move_sh - jnp.uint32(sft),
+                         jnp.where(leave, jnp.uint32(0), move))
+    n_live = jnp.sum(live.astype(jnp.int32))
+    keep = jnp.arange(cap, dtype=jnp.int32) < n_live
+    sent_k = (jnp.uint32(0xFFFFFFFF) if ck.dtype == jnp.uint32
+              else jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    return (jnp.where(keep, ck[:cap], sent_k),
+            jnp.where(keep, cm[:cap], jnp.uint32(0xFFFFFFFF)))
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "bo"))
-def _scan_chunk(sw, m, *, k, w, factor1, bo):
+                   static_argnames=("k", "w", "factor1", "bo", "cap"))
+def _scan_chunk(sw, m, *, k, w, factor1, bo, cap):
     """Packed-stream scan of C positions (C = 32*(len(sw)-2)).
 
     sw: u64 [C/32 + 2] (big-endian-packed words + halo).  m: i32 live-
-    position count.  Returns (kmers [C/BLK*bo] sentinel-padded block-major,
-    meta u32 [C/BLK*bo] = (pos << 1) | isF with 0xFFFFFFFF sentinels,
-    total i32).  total < 0 signals a block overflow (some rows dropped):
-    the caller re-runs with a wider bo or falls back to a host rescan."""
+    position count.  Returns (kmers [cap] dense block-major, meta u32 [cap]
+    = (pos << 1) | isF with 0xFFFFFFFF sentinels past the live rows,
+    total i32).  total < 0 signals a block or cap overflow (rows dropped):
+    the caller re-runs wider or falls back to a host rescan."""
     C = 32 * (sw.shape[0] - 2)
     NW = C // 32
     rows = jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 0)
@@ -44,7 +88,10 @@ def _scan_chunk(sw, m, *, k, w, factor1, bo):
     valid = pos < jnp.uint32(m)
     out_k, out_meta, n_emit, overflow = _scan_compact_core(
         sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=True)
-    total = jnp.where(overflow, jnp.int32(-1), n_emit.astype(jnp.int32))
     if k <= 16:  # kmer fits u32: halve the device->host bytes
-        return out_k.astype(jnp.uint32), out_meta, total
+        out_k = out_k.astype(jnp.uint32)
+    cap = min(cap, out_k.shape[0])  # dense rows can't exceed padded rows
+    out_k, out_meta = _densify(out_k, out_meta, bo, cap)
+    overflow = overflow | (n_emit > cap)
+    total = jnp.where(overflow, jnp.int32(-1), n_emit.astype(jnp.int32))
     return out_k, out_meta, total

@@ -115,6 +115,11 @@ class ModimizerScanner:
         chunk = max(BLOCK, (chunk // BLOCK) * BLOCK)
         self.chunk = chunk
         self.bo = scan_bo(sh.w)
+        # dense download rows: expected emits (chunk/w) + 12.5% (min 64K)
+        # margin for skewed composition; overflow falls back to host rescan
+        self.cap = int(min((chunk // BLK_COMPACT) * self.bo,
+                           max(4096, chunk // sh.w
+                               + max(chunk // (8 * sh.w), 65536))))
         self.want_isf = want_isf
         self.max_inflight = 4
         self.used_device = False   # set per scan_stream call
@@ -132,7 +137,8 @@ class ModimizerScanner:
         sw = pack_sw(seg, NW + 2)
         return _scan_chunk(
             jnp.asarray(sw), jnp.int32(m),
-            k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo)
+            k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
+            cap=self.cap)
 
     def scan_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """codes: uint8/int8 [N] (values 0..3), offsets: int64 [n_reads+1]."""
@@ -155,13 +161,12 @@ class ModimizerScanner:
             if total < 0:  # block-bo overflow: rows dropped — exact fallback
                 self._rescan_chunk(s, m, codes, offsets, out_k, out_p, out_f)
                 return
-            # rows arrive sentinel-padded in block-major order; the host
-            # restores stream order (device lax.sort costs minutes of XLA
-            # compile on this backend; this sort of ~C/w rows is ~ms)
-            km = np.asarray(km)
-            meta = np.asarray(meta)
-            live = meta != np.uint32(0xFFFFFFFF)
-            km, meta = km[live].astype(np.uint64), meta[live]
+            # rows arrive dense (device butterfly) in block-major order;
+            # the host restores stream order (a device lax.sort costs
+            # minutes of XLA compile on this backend; this argsort of
+            # ~C/w rows is ~ms)
+            km = np.asarray(km)[:total].astype(np.uint64)
+            meta = np.asarray(meta)[:total]
             order = np.argsort(meta, kind="stable")
             km, meta = km[order], meta[order]
             gpos = s + (meta >> 1).astype(np.int64)
