@@ -164,7 +164,202 @@ def _expand_valid(vbits, C):
     return ((vb32[None, :] >> rows) & jnp.uint32(1)).astype(jnp.bool_)
 
 
-def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False):
+def compact_backend_default():
+    """Compaction backend policy (overridable with MODIMIZER_COMPACT).
+    Single-level bf16 one-hot remains the measured champion on v5e
+    (docs/PERF.md round-3 ablation: 10.5 ms vs 12.1/13.2/14.8 for the
+    int8/two-level variants — the cube is fused into the dot by XLA, so
+    shrinking its bytes does not pay)."""
+    import os
+    return os.environ.get("MODIMIZER_COMPACT", "onehot")
+
+
+def _stage_fronts(kmers, pos, emit, k):
+    """Split the scan front's outputs into u32 planes and pin them behind an
+    optimization barrier.  Without this, XLA fuses the 32-phase u64 funnel
+    front into EVERY 8-bit limb plane of the compaction cols (8-9 full
+    recomputes, ~4 ms/step of the round-2 profile); one forced
+    materialization of ~150 MB is ~0.4 ms."""
+    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+    if k > 16:
+        klo, khi, pos, emit = jax.lax.optimization_barrier(
+            (klo, khi, pos, emit))
+    else:
+        klo, pos, emit = jax.lax.optimization_barrier((klo, pos, emit))
+        khi = jnp.zeros_like(klo)
+    return klo, khi, pos, emit
+
+
+def _limb_cols(klo, khi, pos, k, nb, blk):
+    """8-bit limb planes of (kmer, pos) as a list of u32 [nb, blk] arrays,
+    most-significant first (khi limbs drop out for k <= 16)."""
+    n_khi = (2 * k - 32 + 7) // 8 if k > 16 else 0
+    limbs = [(khi >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
+             for i in reversed(range(n_khi))]
+    limbs += [(v >> jnp.uint32(sh_)) & jnp.uint32(0xFF)
+              for v in (klo, pos) for sh_ in (24, 16, 8, 0)]
+    return [x.reshape(nb, blk) for x in limbs], n_khi
+
+
+def _assemble_rows(o, live, n_khi, nb, bo):
+    """Rebuild (kmer u64, pos u32) from compacted limb planes o [nb, bo, nc]
+    (u32 values 0..255), sentinel the dead slots."""
+    def u32_of(i, nl=4):
+        v = o[:, :, i]
+        for t in range(1, nl):
+            v = (v << 8) | o[:, :, i + t]
+        return v
+
+    okhi = u32_of(0, n_khi) if n_khi else jnp.zeros_like(o[:, :, 0])
+    okmer = _join64(okhi, u32_of(n_khi))
+    opos = u32_of(n_khi + 4)
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, opos, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    return out_k, out_p
+
+
+def _compact_blocks_onehot(kmers, pos, emit, *, k, C, bo, int8=False):
+    """Single-level one-hot compaction (the round-1/2 champion): per
+    BLK-position block, an MXU cumsum (emit-row @ triangular ones) drives a
+    [nb, bo, BLK] one-hot that gathers the 8-bit limbs of (kmer, pos).
+
+    int8=True swaps the bf16 operands for int8 with s32 accumulation —
+    exact because limbs ride biased (limb - 128 fits int8; each live output
+    slot receives exactly one contribution, so adding 128*live afterwards
+    restores the value) — and halves the one-hot cube's HBM bytes, the
+    dominant cost of the whole scan step on v5e."""
+    nb = C // BLK
+    klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
+    limbs, n_khi = _limb_cols(klo, khi, pos, k, nb, BLK)
+    ncols = len(limbs)
+    e2 = emit.reshape(nb, BLK)
+    if int8:
+        op_t, acc_t = jnp.int8, jnp.int32
+        cols = jnp.stack([x.astype(jnp.int32) - 128 for x in limbs],
+                         axis=2).astype(jnp.int8)
+    else:
+        op_t, acc_t = jnp.bfloat16, jnp.float32
+        cols = jnp.stack(limbs, axis=2).astype(jnp.bfloat16)
+    # cumsum on the MXU: emit-row @ upper-triangular ones.  The 9-pass VPU
+    # log-shift prefix costs ~5 ms per 16M positions; this matmul is
+    # effectively free next to the compaction matmul (counts <= BLK are
+    # exact in both the f32 and s32 accumulators).
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+          ).astype(op_t)
+    csum = jax.lax.dot_general(e2.astype(op_t), ut,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=acc_t)
+    csum = csum.astype(jnp.int32) if not int8 else csum
+    dest = jnp.where(e2, csum - 1, -1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
+    onehot = (dest[:, None, :] == slots).astype(op_t)
+    out = jax.lax.dot_general(onehot, cols,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=acc_t)
+    cnts = csum[:, -1].astype(jnp.int32)
+    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    if int8:
+        o = jnp.where(live[:, :, None], out + 128, 0).astype(jnp.uint32)
+    else:
+        o = out.astype(jnp.uint32)
+    out_k, out_p = _assemble_rows(o, live, n_khi, nb, bo)
+    n_emit = jnp.sum(emit).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
+
+
+B1 = 128  # level-1 sub-block positions (one int8 lane tile)
+
+
+def twolevel_b1(bo: int) -> int:
+    """Level-1 slots per B1-position sub-block, derived from the block
+    capacity bo so widen-and-replay grows both levels together.  32 is the
+    int8 sublane tile floor; at bo/4 the margin over the Binomial(B1, 1/w)
+    mean is always wider than bo's own 6-sigma rule."""
+    return int(min(B1, max(32, -(-bo // 4 // 32) * 32)))
+
+
+def _compact_blocks_twolevel(kmers, pos, emit, *, k, C, bo, int8=True):
+    """Two-level int8 one-hot compaction — the round-3 champion backend.
+
+    The single-level one-hot cube is C*bo operand elements; almost all of
+    the scan step's time is XLA materializing it to HBM.  Compacting each
+    B1=128-position sub-block into b1=32 slots first (cube C*b1), then
+    concatenating the G=BLK/B1 survivor groups of a block with a second
+    one-hot over only G*b1 source slots (cube C*(bo*G*b1/BLK)) cuts the
+    cube bytes ~4x at w=16 on top of int8's 2x vs bf16.
+
+    Output is bit-identical to the single-level backends: an element's
+    level-2 destination off[g] + j equals its in-block emit rank, so rows,
+    slots, sentinels and overflow semantics all match (level-1 overflow is
+    OR-ed into the flag; the caller's widen doubles bo and thus b1)."""
+    b1 = twolevel_b1(bo)
+    G = BLK // B1
+    nb = C // BLK
+    ns = C // B1
+    klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
+    limbs, n_khi = _limb_cols(klo, khi, pos, k, ns, B1)
+    ncols = len(limbs)
+    if int8:
+        op_t, acc_t = jnp.int8, jnp.int32
+        cols1 = jnp.stack([x.astype(jnp.int32) - 128 for x in limbs],
+                          axis=2).astype(jnp.int8)        # [ns, B1, ncols]
+    else:
+        op_t, acc_t = jnp.bfloat16, jnp.float32
+        cols1 = jnp.stack(limbs, axis=2).astype(jnp.bfloat16)
+    e1 = emit.reshape(ns, B1)
+    ut1 = (jax.lax.broadcasted_iota(jnp.int32, (B1, B1), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (B1, B1), 1)
+           ).astype(op_t)
+    csum1 = jax.lax.dot_general(e1.astype(op_t), ut1,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=acc_t
+                                ).astype(jnp.int32)
+    dest1 = jnp.where(e1, csum1 - 1, -1)
+    slots1 = jax.lax.broadcasted_iota(jnp.int32, (ns, b1, B1), 1)
+    onehot1 = (dest1[:, None, :] == slots1).astype(op_t)
+    out1 = jax.lax.dot_general(onehot1, cols1,
+                               (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=acc_t)
+    cnt1 = csum1[:, -1]                                   # [ns]
+    live1 = (jax.lax.broadcasted_iota(jnp.int32, (ns, b1), 1)
+             < cnt1[:, None])
+    ovf1 = jnp.any(cnt1 > b1)
+
+    # level 2: concatenate the G survivor groups of each BLK block.
+    # source slot (g, j) lands at off[g] + j, off = exclusive cumsum of cnt1
+    cnt1b = cnt1.reshape(nb, G)
+    off = jnp.cumsum(cnt1b, axis=1) - cnt1b               # [nb, G]
+    dest2 = jnp.where(live1.reshape(nb, G, b1),
+                      off[:, :, None]
+                      + jax.lax.broadcasted_iota(jnp.int32, (nb, G, b1), 2),
+                      -1).reshape(nb, G * b1)
+    if int8:
+        # out1 values are biased limbs + 128*live; re-bias for the int8
+        # ride (dead level-1 slots carry 0 == -128 biased; never land)
+        cols2 = jnp.where(live1[:, :, None], out1, -128).astype(jnp.int8)
+    else:
+        cols2 = out1.astype(jnp.bfloat16)  # limbs 0..255 exact in bf16
+    cols2 = cols2.reshape(nb, G * b1, ncols)
+    slots2 = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, G * b1), 1)
+    onehot2 = (dest2[:, None, :] == slots2).astype(op_t)
+    out2 = jax.lax.dot_general(onehot2, cols2,
+                               (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=acc_t)
+    cnts = (off[:, -1] + cnt1b[:, -1]).astype(jnp.int32)  # per-block emits
+    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    if int8:
+        o = jnp.where(live[:, :, None], out2 + 128, 0).astype(jnp.uint32)
+    else:
+        o = out2.astype(jnp.uint32)
+    out_k, out_p = _assemble_rows(o, live, n_khi, nb, bo)
+    n_emit = jnp.sum(emit).astype(jnp.int64)
+    return out_k, out_p, n_emit, ovf1 | jnp.any(cnts > bo)
+
+
+def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
+                       backend=None):
     """Single-device scan step with MXU compaction, phase-major layout.
 
     All elementwise work runs on [32, NW] arrays (minor dim NW keeps the
@@ -188,62 +383,19 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False):
     With meta_isf the pos column carries (pos << 1) | isF instead.  Returns
     (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos/meta u32,
     n_emit, overflow)."""
-    nb = C // BLK
     hashes, kmers, pos, isF = _scan_front(sw, k=k, factor1=factor1, C=C)
     if meta_isf:
         pos = (pos << jnp.uint32(1)) | isF.astype(jnp.uint32)
     emit = valid & mod_is_zero(hashes, w)
-    import os
-    if os.environ.get("MODIMIZER_COMPACT", "onehot") == "butterfly":
+    backend = backend or compact_backend_default()
+    int8 = backend.endswith("_i8")
+    if backend.startswith("twolevel") and twolevel_b1(bo) < B1:
+        return _compact_blocks_twolevel(kmers, pos, emit, k=k, C=C, bo=bo,
+                                        int8=int8)
+    if backend == "butterfly":
         return _compact_blocks_butterfly(kmers, pos, emit, k=k, C=C, bo=bo)
-    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
-    # limb count scales with k: a kmer is 2k bits (khi limbs drop out for
-    # k <= 16), positions are 32-bit
-    n_khi = (2 * k - 32 + 7) // 8 if k > 16 else 0
-    limbs = [(khi >> jnp.uint32(8 * i)) & jnp.uint32(0xFF)
-             for i in reversed(range(n_khi))]
-    limbs += [(v >> jnp.uint32(sh_)) & jnp.uint32(0xFF)
-              for v in (klo, pos) for sh_ in (24, 16, 8, 0)]
-    # bf16 operands: 8-bit limbs and 0/1 one-hots are exact in bf16, the MXU
-    # accumulates in f32, and halving operand bytes halves HBM traffic
-    cols = jnp.stack([x.reshape(nb, BLK) for x in limbs],
-                     axis=2).astype(jnp.bfloat16)     # [nb, BLK, ncols]
-    ncols = len(limbs)
-    e2 = emit.reshape(nb, BLK)
-    # cumsum on the MXU: emit-row @ upper-triangular ones.  The 9-pass VPU
-    # log-shift prefix costs ~5 ms per 16M positions; this matmul is
-    # effectively free next to the compaction matmul (values <= BLK are
-    # exact in the f32 accumulator; 0/1 operands are exact in bf16).
-    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-          ).astype(jnp.bfloat16)
-    csum = jax.lax.dot_general(e2.astype(jnp.bfloat16), ut,
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    dest = jnp.where(e2, csum - 1.0, -1.0)
-    slots = jax.lax.broadcasted_iota(jnp.float32, (nb, bo, BLK), 1)
-    onehot = (dest[:, None, :] == slots).astype(jnp.bfloat16)
-    out = jax.lax.dot_general(onehot, cols,
-                              (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
-    cnts = csum[:, -1].astype(jnp.int32)
-    o = out.astype(jnp.uint32)
-
-    def u32_of(i, nl=4):
-        v = o[:, :, i]
-        for t in range(1, nl):
-            v = (v << 8) | o[:, :, i + t]
-        return v
-
-    okhi = u32_of(0, n_khi) if n_khi else jnp.zeros_like(o[:, :, 0])
-    okmer = _join64(okhi, u32_of(n_khi))
-    opos = u32_of(n_khi + 4)
-    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
-    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
-    out_p = jnp.where(live, opos, jnp.uint32(0xFFFFFFFF)).reshape(-1)
-    n_emit = jnp.sum(emit).astype(jnp.int64)
-    return out_k, out_p, n_emit, jnp.any(cnts > bo)
+    return _compact_blocks_onehot(kmers, pos, emit, k=k, C=C, bo=bo,
+                                  int8=int8)
 
 
 def _compact_blocks_butterfly(kmers, pos, emit, *, k, C, bo):
@@ -291,10 +443,11 @@ def _compact_blocks_butterfly(kmers, pos, emit, *, k, C, bo):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "C", "bo"))
-def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo):
+                   static_argnames=("k", "w", "factor1", "C", "bo",
+                                    "backend"))
+def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo, backend=None):
     return _scan_compact_core(sw, _expand_valid(vbits, C), k=k, w=w,
-                              factor1=factor1, C=C, bo=bo)
+                              factor1=factor1, C=C, bo=bo, backend=backend)
 
 
 @functools.partial(jax.jit,

@@ -1,0 +1,82 @@
+"""Ablation bench: scan+compact backends on one TPU chip.
+
+Times the jitted scan step (packed 2-bit stream -> compacted modimizer
+rows) per backend on device-resident data, cross-checking that every
+backend returns bit-identical rows.  Drives the round-3 one-hot-cube
+byte-reduction work (docs/PERF.md).
+
+Usage: python scripts/bench_compact.py [C_log2] [backend ...]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+import modimizer_tpu  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+
+from modimizer_tpu.core.seqhash import Seqhash
+from modimizer_tpu.ops.packed import pack_bits, pack_sw
+from modimizer_tpu.parallel.sharded import _scan_compact_local
+
+K, W, SEED = 16, 16, 17
+C_LOG2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+BACKENDS = sys.argv[2:] or ["onehot", "onehot_i8", "twolevel_i8"]
+BO = 112
+REPS = 16
+BATCHES = 3
+
+
+def main():
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    sh = Seqhash.create(K, W, SEED)
+    C = 1 << C_LOG2
+    rng = np.random.default_rng(42)
+    codes = rng.integers(0, 4, C + K - 1).astype(np.uint8)
+    sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
+    vb_d = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
+
+    ref = None
+    for be in BACKENDS:
+        def step(dep, be=be):
+            swx = sw_d.at[0].set(
+                sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+            return _scan_compact_local(swx, vb_d, k=K, w=W,
+                                       factor1=sh.factor1, C=C, bo=BO,
+                                       backend=be)
+
+        t0 = time.perf_counter()
+        out = step(jnp.int64(0))
+        n = int(np.asarray(out[2]))
+        t_compile = time.perf_counter() - t0
+        host = tuple(np.asarray(x) for x in out[:2])
+        if ref is None:
+            ref = host
+            match = "ref"
+        else:
+            match = ("MATCH" if all(np.array_equal(a, b)
+                                    for a, b in zip(ref, host)) else "DIFF!")
+        best = None
+        for _ in range(BATCHES):
+            dep = jnp.int64(0)
+            t0 = time.perf_counter()
+            for _ in range(REPS):
+                out = step(dep)
+                dep = out[2]
+            int(np.asarray(dep))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        ms = best / REPS * 1e3
+        rate = C / (best / REPS) / 1e6
+        print(f"{be:14s} {ms:7.2f} ms/step  {rate:8.0f} Mpos/s  "
+              f"(compile {t_compile:.1f}s, {n} emits, {match})")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""MXU-compaction Pallas kernel + new compaction backends vs the XLA
+front-end oracle (interpret mode / CPU jit, small shapes)."""
+
+import numpy as np
+import pytest
+
+import modimizer_tpu
+
+modimizer_tpu.configure_jax()
+
+import jax.numpy as jnp
+
+from modimizer_tpu.core.seqhash import Seqhash
+from modimizer_tpu.ops import scan_kernel_mxu as SKM
+from modimizer_tpu.ops.packed import mod_is_zero, pack_bits, pack_sw
+from modimizer_tpu.parallel.sharded import _scan_compact_local, _scan_front
+
+
+def _pack32(codes, n_words):
+    ext = np.zeros(n_words * 16, np.uint32)
+    ext[:len(codes)] = codes[:n_words * 16]
+    qq = ext.reshape(-1, 16)
+    w = np.zeros(n_words, np.uint32)
+    for b in range(16):
+        w |= qq[:, b] << np.uint32(30 - 2 * b)
+    return w
+
+
+@pytest.mark.parametrize("k,w,R", [(16, 16, 256), (13, 31, 256),
+                                   (11, 10, 128)])
+def test_mxu_kernel_matches_oracle(k, w, R):
+    sh = Seqhash.create(k, w, 17)
+    rng = np.random.default_rng(42)
+    T = 1
+    nW = T * 128 * R
+    C = 16 * nW
+    codes = rng.integers(0, 4, C + 16).astype(np.uint8)
+    w32 = _pack32(codes, nW + 1)
+    m = C - 777
+    base = np.arange(nW + 1, dtype=np.int64) * 16
+    v16 = np.zeros(nW + 1, np.uint32)
+    for r in range(16):
+        v16 |= ((base + r) < m).astype(np.uint32) << np.uint32(r)
+    bo = 64
+    ok_, om_, tot, ovf = SKM.scan_compact_mxu(
+        jnp.asarray(w32), jnp.asarray(v16), k=k, w=w, factor1=sh.factor1,
+        bo=bo, R=R, SUB=32, interpret=True)
+    ok_, om_ = np.asarray(ok_), np.asarray(om_)
+    live = om_ != 0xFFFFFFFF
+    gpos, isf = SKM.host_gpos(om_, R)
+    got = sorted(zip(gpos[live].tolist(),
+                     ok_[live].astype(np.uint64).tolist(),
+                     isf[live].tolist()))
+
+    sw64 = jnp.asarray(pack_sw(codes, C // 32 + 2))
+    hashes, kmers, pos, isF = _scan_front(sw64, k=k, factor1=sh.factor1, C=C)
+    emit = np.asarray(mod_is_zero(hashes, w)) & (np.asarray(pos) < m)
+    want = sorted(zip(np.asarray(pos)[emit].tolist(),
+                      np.asarray(kmers)[emit].tolist(),
+                      np.asarray(isF)[emit].tolist()))
+    assert got == want
+    assert int(np.asarray(tot)[0, 0]) == len(want)
+    assert int(np.asarray(ovf)[0, 0]) <= bo
+
+
+@pytest.mark.parametrize("k,w,bo", [(16, 16, 112), (19, 31, 64),
+                                    (16, 31, 112)])
+def test_compact_backends_bit_identical(k, w, bo):
+    """onehot / onehot_i8 / twolevel / twolevel_i8 / butterfly all return
+    byte-identical rows (incl. sentinels and overflow flags)."""
+    rng = np.random.default_rng(7)
+    f1 = 0x9E3779B97F4A7C15 | 1
+    C = 1 << 15
+    codes = rng.integers(0, 4, C + k - 1).astype(np.uint8)
+    sw = jnp.asarray(pack_sw(codes, C // 32 + 2))
+    vb = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
+    ref = None
+    for be in ["onehot", "onehot_i8", "twolevel", "twolevel_i8",
+               "butterfly"]:
+        out = tuple(np.asarray(x) for x in _scan_compact_local(
+            sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend=be))
+        if ref is None:
+            ref = out
+        else:
+            for a, b in zip(ref, out):
+                assert np.array_equal(a, b), be
