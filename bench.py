@@ -110,23 +110,23 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     sc = ModimizerScanner(sh, chunk=1 << 25, host_threshold=0)
     # one-time XLA compile (shape-keyed, so it uses the first chunk);
     # reported separately — every later chunk reuses the executable
-    warm = sc._dispatch(batch.codes.view(np.uint8), 0,
-                        min(sc.chunk, len(batch.codes)))
-    int(np.asarray(warm[2]))
+    wv = np.zeros(sc.chunk // 64, np.uint64)
+    warm = sc._dispatch_kmers(batch.codes.view(np.uint8), 0, wv)
+    int(np.asarray(warm[1]))
     t_compile = time.perf_counter()
-    km, _gpos, _isF = sc.scan_stream(batch.codes, batch.offsets)
-    t_scan = time.perf_counter()
+    # pipelined: kmers-only download (device validity) + per-chunk native
+    # table replay under the wire time
     ms = Modset(sh, BITS)
-    ms.add_batch(km)
+    n_km = sc.scan_kmers(batch.codes, batch.offsets, consumer=ms.add_batch)
     t1 = time.perf_counter()
     n_seq = batch.n
     tot_len = len(batch.codes)
     positions = tot_len - (K - 1) * n_seq
     e2e = positions / (t1 - t_compile)
     log(f"e2e: parse {t_parse-t0:.2f}s compile {t_compile-t_parse:.2f}s "
-        f"scan {t_scan-t_compile:.2f}s table {t1-t_scan:.2f}s -> "
+        f"scan+table {t1-t_compile:.2f}s -> "
         f"{e2e/1e6:.1f} Mkmers/s e2e (excl. one-time compile); "
-        f"{len(km)} kmers, {ms.max} unique")
+        f"{n_km} kmers, {ms.max} unique")
     if c_entries and ms.max != c_entries:
         raise RuntimeError(
             f"TPU build diverged from C: {ms.max} unique vs {c_entries}")

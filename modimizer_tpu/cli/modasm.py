@@ -18,6 +18,28 @@ from .common import Args, OutFile, die, finish
 TOPBIT = 0x80000000
 
 
+def _use_device_overlaps(rs) -> bool:
+    """Overlap-discovery backend policy (mirrors the scanner's): device
+    phase 1 pays off on directly-attached TPU hardware for big readsets;
+    behind the dev tunnel (lax.sort programs cost minutes of XLA compile)
+    or on small inputs the serial native walk wins.  Override with
+    MODIMIZER_OVERLAPS=device|host."""
+    import os
+    mode = os.environ.get("MODIMIZER_OVERLAPS", "auto")
+    if mode == "device":
+        return True
+    if mode == "host":
+        return False
+    from ..ops.seqhash import ModimizerScanner
+    return ("tpu" in ModimizerScanner.platform_hint()
+            and rs.tot_hit >= (1 << 20))
+
+
+def _overlaps_pre(rs, name, out_f, *front):
+    cy, ch, co = rs.device_overlap_candidates()
+    rs.native_call(name, out_f, *front, cy, ch, co)
+
+
 def usage(num_threads):
     e = sys.stderr.write
     e("Usage: modasm <commands>\n")
@@ -142,14 +164,26 @@ def main(argv=None):
         elif (m := args.match("-o1", "--overlaps1", 2)):
             need_rs().native_call("rs_find_overlaps", out.f, int(m[1]), 2)
         elif (m := args.match("-o2", "--overlaps2", 2)):
-            need_rs().native_call("rs_overlaps_every", out.f, int(m[1]))
+            r = need_rs()
+            if _use_device_overlaps(r):
+                _overlaps_pre(r, "rs_overlaps_every_pre", out.f, int(m[1]))
+            else:
+                r.native_call("rs_overlaps_every", out.f, int(m[1]))
         elif (m := args.match("-o3", "--overlap", 3)):
             need_rs().native_call("rs_print_overlap", out.f,
                                   int(m[1]), int(m[2]))
         elif args.match("-b", "--markBadReads", 1):
-            need_rs().native_call("rs_mark_bad", out.f)
+            r = need_rs()
+            if _use_device_overlaps(r):
+                _overlaps_pre(r, "rs_mark_bad_pre", out.f)
+            else:
+                r.native_call("rs_mark_bad", out.f)
         elif args.match("-c", "--markContained", 1):
-            need_rs().native_call("rs_mark_contained", out.f)
+            r = need_rs()
+            if _use_device_overlaps(r):
+                _overlaps_pre(r, "rs_mark_contained_pre", out.f)
+            else:
+                r.native_call("rs_mark_contained", out.f)
         elif (m := args.match("-a1", "--assemble1", 2)):
             need_rs().native_call("rs_assemble_from_read", out.f, int(m[1]))
         elif (m := args.match("-a2", "--assemble2", 3)):

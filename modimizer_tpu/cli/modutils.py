@@ -93,9 +93,9 @@ def add_sequence_file(ms: Modset, scanner: ModimizerScanner, filename,
         n_hash = builder.total_emitted
         ms.add_batch(uniq, counts)
     else:
-        kmers, _gpos, _isF = scanner.scan_stream(codes, offsets)
-        n_hash = len(kmers)
-        ms.add_batch(kmers, None)  # exact replay of per-occurrence inserts
+        # pipelined kmers-only scan: per-chunk table replay runs under the
+        # device transfer time; identical insert stream either way
+        n_hash = scanner.scan_kmers(codes, offsets, consumer=ms.add_batch)
     out.write("added %d sequences total length %d total hashes %d, new max %d\n"
               % (batch.n, tot_len, n_hash, ms.max))
     return True

@@ -199,6 +199,28 @@ class Readset:
         v.fdStdout = fd_stdout
         return v
 
+    def device_overlap_candidates(self, dmax: int = 64):
+        """Batched findOverlaps phase 1 on device (parallel/overlaps.py):
+        per-read CSR candidate lists in the reference's stable-sorted order
+        (descending U16-wrapped nHit over first-encounter order,
+        modasm.c:353), ready for the native *_pre phase-2 engines."""
+        from ..parallel.overlaps import overlap_counts
+        if self.tot_hit == 0:
+            return (np.zeros(0, np.uint32), np.zeros(0, np.uint16),
+                    np.zeros(self.n_reads + 1, np.int64))
+        res = overlap_counts(self, dmax=dmax)
+        x, y, cnt = res["x"], res["y"], res["n_hit"]
+        rank = res["first_rank"]
+        wrapped = (cnt & np.uint32(0xFFFF)).astype(np.uint16)
+        # re-sort with the WRAPPED count (the reference sorts the U16 field)
+        oo = np.lexsort((rank, (0xFFFF - wrapped.astype(np.int32)), x))
+        x, y, wrapped = x[oo], y[oo], wrapped[oo]
+        off = np.zeros(self.n_reads + 1, np.int64)
+        np.cumsum(np.bincount(x, minlength=self.n_reads), out=off[1:])
+        return (np.ascontiguousarray(y, np.uint32),
+                np.ascontiguousarray(wrapped, np.uint16),
+                np.ascontiguousarray(off, np.int64))
+
     def native_call(self, name, out_f, *extra):
         """Run a native modasm command with exact stream interleaving."""
         import sys

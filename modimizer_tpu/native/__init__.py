@@ -123,6 +123,17 @@ def _declare(L):
         fn.restype = None
         fn.argtypes = [vp] + extra
 
+    i64pp = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    cand = [u32p, u16p, i64pp]
+    for name, extra in [
+            ("rs_mark_bad_pre", cand),
+            ("rs_mark_contained_pre", cand),
+            ("rs_overlaps_every_pre", [c.c_int64] + cand),
+    ]:
+        fn = getattr(L, name)
+        fn.restype = None
+        fn.argtypes = [vp] + extra
+
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     L.sh_scan_emit.restype = c.c_int64
     L.sh_scan_emit.argtypes = [u8p, c.c_int64, c.c_int, c.c_uint64,

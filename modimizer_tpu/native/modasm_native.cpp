@@ -369,6 +369,9 @@ static std::vector<int> s_omap;
 static std::vector<U16> s_hmap;
 static std::vector<U32> s_xPos;
 
+static void foPhase2(RSView *v, I64 ix, int level, FILE *fo,
+                     std::vector<Olap> &olap, int nRepeat);
+
 static void findOverlaps(RSView *v, I64 ix, int level, FILE *fo,
                          std::vector<Olap> &olap) {
   s_omap.assign((size_t)v->nReads, 0);
@@ -409,11 +412,24 @@ static void findOverlaps(RSView *v, I64 ix, int level, FILE *fo,
     }
   }
 
-  int nGood = 0, nBad = 0;
   std::stable_sort(olap.begin(), olap.end(),
                    [](const Olap &a, const Olap &b) {
                      return olapCmp(&a, &b) < 0;
                    });
+  foPhase2(v, ix, level, fo, olap, nRepeat);
+}
+
+// phase 2 of findOverlaps (modasm.c:353-418): per-candidate orientation
+// vote, order-violation scan, containment, flags and RR/RH prints.  Shared
+// verbatim by the serial walk above and the device-phase-1 path below;
+// expects olap = candidates sorted by descending (U16) nHit with the
+// burned slot 0 at the END, and s_hmap/s_xPos primed for read ix.
+static void foPhase2(RSView *v, I64 ix, int level, FILE *fo,
+                     std::vector<Olap> &olap, int nRepeat) {
+  int nHitX = v->nHit[ix];
+  int xLen = v->rlen[ix];
+  const U32 *hx = readHits(v, ix);
+  int nGood = 0, nBad = 0;
   size_t k = 1;
   // NB the reference walks o from element 0 while k counts from 1, so the
   // last element (the burned slot, sorted to the end) is never examined
@@ -502,6 +518,138 @@ extern "C" void rs_overlaps_every(RSView *v, I64 d) {
   std::vector<Olap> olap;
   for (I64 ix = d; ix < v->nReads; ix += d)
     findOverlaps(v, ix, 1, s.out, olap);
+  sinksClose(s);
+}
+
+// ------------------------------------------------------------------
+// device-phase-1 variants: candidate discovery + counting runs batched on
+// the TPU (parallel/overlaps.py self-join) and arrives here as per-read
+// CSR candidate lists ALREADY in reference order (descending wrapped-U16
+// nHit over first-encounter order, the stable_sort result at
+// modasm.c:353); this side re-primes s_hmap/s_xPos (O(nHitX)) and runs
+// the identical phase 2, so the sequential cross-read bad-flag semantics
+// (bad[iy] checks see exactly the flags set by lower ix) are preserved.
+// ------------------------------------------------------------------
+
+static void findOverlapsPre(RSView *v, I64 ix, int level, FILE *fo,
+                            std::vector<Olap> &olap, const U32 *candY,
+                            const U16 *candHit, I64 nCand) {
+  s_hmap.assign((size_t)v->msMax + 1, 0);
+  int nHitX = v->nHit[ix];
+  const U32 *hx = readHits(v, ix);
+  const U16 *dxx = readDx(v, ix);
+  s_xPos.assign((size_t)nHitX + 1, 0);
+
+  int nRepeat = 0;
+  for (int j = 0; j < nHitX; ++j) {
+    U32 hxx = hx[j] & TOPMASK;
+    s_xPos[j + 1] = s_xPos[j] + dxx[j];
+    if (!msIsCopy1(v, hxx)) continue;
+    if (s_hmap[hxx]) {
+      ++nRepeat;
+      v->bad[ix] |= BAD_REPEAT;
+      continue;
+    }
+    s_hmap[hxx] = (U16)(j + 1);
+  }
+
+  olap.clear();
+  olap.reserve((size_t)nCand + 1);
+  for (I64 i = 0; i < nCand; ++i)
+    olap.push_back(Olap{candY[i], candHit[i], 0, 0, 0, 0});
+  olap.push_back(Olap{0, 0, 0, 0, 0, 0});  // burned slot, sorted-to-end
+  foPhase2(v, ix, level, fo, olap, nRepeat);
+}
+
+extern "C" void rs_mark_bad_pre(RSView *v, const U32 *candY,
+                                const U16 *candHit, const I64 *candOff) {
+  Sinks s = sinksOpen(v);
+  I64 nr = v->nReads;
+  for (I64 ix = 1; ix < nr; ++ix) v->bad[ix] = 0;
+
+  std::vector<int> badList((size_t)nr * 10, 0);
+  std::vector<int> nBadArr((size_t)nr, 0), lBad((size_t)nr, 0);
+  std::vector<Olap> olap;
+
+  for (I64 ix = 1; ix < nr; ++ix) {
+    findOverlapsPre(v, ix, 0, s.out, olap, candY + candOff[ix],
+                    candHit + candOff[ix], candOff[ix + 1] - candOff[ix]);
+    for (size_t i = 0; i < olap.size(); ++i) {
+      Olap *o = &olap[i];
+      if (o->nBadFlip || o->nBadOrder) {
+        int iy = (int)o->iy;
+        ++nBadArr[iy];
+        if (nBadArr[iy] < 10 && lBad[ix] < 10)
+          badList[10 * ix + lBad[ix]++] = iy;
+      }
+    }
+  }
+
+  int N = 0;
+  for (I64 ix = 1; ix < nr; ++ix)
+    if (nBadArr[ix] >= 10) { v->bad[ix] |= BAD_ORDER10; ++N; lBad[ix] = 0; }
+  fprintf(s.so, "MB  %d with >=10 bad overlaps\n", N);
+
+  for (I64 ix = 1; ix < nr; ++ix)
+    for (int i = lBad[ix]; i--;)
+      if (v->bad[badList[10 * ix + i]])
+        badList[10 * ix + i] = badList[10 * ix + --lBad[ix]];
+
+  N = 0;
+  for (I64 ix = 1; ix < nr; ++ix)
+    if (lBad[ix] >= 2) { v->bad[ix] |= BAD_ORDER1; ++N; lBad[ix] = 0; }
+  fprintf(s.so, "MB  %d with multiple bad overlaps\n", N);
+
+  for (I64 ix = 1; ix < nr; ++ix)
+    for (int i = lBad[ix]; i--;)
+      if (v->bad[badList[10 * ix + i]])
+        badList[10 * ix + i] = badList[10 * ix + --lBad[ix]];
+
+  N = 0;
+  for (I64 ix = 1; ix < nr; ++ix)
+    if (lBad[ix] > 0) { v->bad[ix] |= BAD_ORDER1; ++N; lBad[ix] = 0; }
+  fprintf(s.so, "MB  %d with single bad overlaps\n", N);
+  sinksClose(s);
+}
+
+extern "C" void rs_mark_contained_pre(RSView *v, const U32 *candY,
+                                      const U16 *candHit,
+                                      const I64 *candOff) {
+  Sinks s = sinksOpen(v);
+  int nContained = 0, nNotContained = 0;
+  U64 totLen = 0;
+  std::vector<Olap> olap;
+  for (I64 ix = 1; ix < v->nReads; ++ix) {
+    if (v->bad[ix]) continue;
+    findOverlapsPre(v, ix, 0, s.out, olap, candY + candOff[ix],
+                    candHit + candOff[ix], candOff[ix + 1] - candOff[ix]);
+    int maxHit = 0;
+    for (size_t io = 0; io < olap.size(); ++io) {
+      Olap *o = &olap[io];
+      if (o->iy == (U32)ix) continue;  // no self-containment
+      if (!o->isContained || o->nHit <= maxHit) continue;
+      v->contained[ix] = (int)o->iy;
+      maxHit = o->nHit;
+    }
+    if (v->contained[ix]) ++nContained;
+    else { ++nNotContained; totLen += (U64)v->rlen[ix]; }
+  }
+  fprintf(s.so,
+          "MC  found %d contained reads, leaving %d not contained, av length "
+          "%.1f\n",
+          nContained, nNotContained,
+          nNotContained ? totLen / (double)nNotContained : 0.);
+  sinksClose(s);
+}
+
+extern "C" void rs_overlaps_every_pre(RSView *v, I64 d, const U32 *candY,
+                                      const U16 *candHit,
+                                      const I64 *candOff) {
+  Sinks s = sinksOpen(v);
+  std::vector<Olap> olap;
+  for (I64 ix = d; ix < v->nReads; ix += d)
+    findOverlapsPre(v, ix, 1, s.out, olap, candY + candOff[ix],
+                    candHit + candOff[ix], candOff[ix + 1] - candOff[ix]);
   sinksClose(s);
 }
 

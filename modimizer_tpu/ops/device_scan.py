@@ -20,21 +20,24 @@ modimizer_tpu.configure_jax()
 import jax
 import jax.numpy as jnp
 
-from ..parallel.sharded import BLK, _scan_compact_core
+from ..parallel.sharded import BLK, _expand_valid, _scan_compact_core
 from .seqhash import BLK_COMPACT, scan_bo  # noqa: F401  (re-export)
 
 assert BLK_COMPACT == BLK  # keep the jax-free mirror honest
 
 
-def _densify(out_k, out_meta, bo, cap):
-    """Butterfly-compact the sentinel-padded [nb*bo] block rows into the
-    first n_emit slots (then slice to cap) — 21 conditional-roll stages
-    instead of a lax.sort, whose XLA compile costs minutes on this backend.
-    Correct for the same reason as the block butterfly: displacements are
-    monotone non-decreasing, and a wrapped arrival's remaining move is
-    always smaller than its position."""
-    nb = out_k.shape[0] // bo
-    live = out_meta != jnp.uint32(0xFFFFFFFF)
+def _densify_cols(cols, live, bo, cap, sentinels):
+    """Butterfly-compact sentinel-padded [nb*bo] block rows into the first
+    n_emit slots (then slice to cap) — 21 conditional-roll stages instead of
+    a lax.sort, whose XLA compile costs minutes on this backend.  Correct
+    for the same reason as the block butterfly: displacements are monotone
+    non-decreasing, and a wrapped arrival's remaining move is always smaller
+    than its position.  ORDER-PRESERVING: live rows keep their relative
+    order, which is already exact stream order (in-block one-hot ranks are
+    emit order; blocks are position-major), so consumers need no sort.
+
+    cols: tuple of [nb*bo] arrays sharing the same live mask."""
+    nb = live.shape[0] // bo
     # exclusive global live-count: within-block via an SLT matmul (counts
     # <= bo are exact in f32), block bases via a short cumsum over [nb]
     l2 = live.reshape(nb, bo)
@@ -49,25 +52,59 @@ def _densify(out_k, out_meta, bo, cap):
     bases = jnp.concatenate([jnp.zeros(1, jnp.uint32),
                              jnp.cumsum(per_blk)[:-1].astype(jnp.uint32)])
     excl = (bases[:, None] + within).reshape(-1)
-    n = out_k.shape[0]
+    n = live.shape[0]
     idx = jnp.arange(n, dtype=jnp.uint32)
     move = jnp.where(live, idx - excl, jnp.uint32(0))
-    ck, cm = out_k, out_meta
+    cols = list(cols)
     for b in range((n - 1).bit_length()):
         sft = 1 << b
         move_sh = jnp.roll(move, -sft)
         arrive = ((move_sh >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
         leave = ((move >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
-        ck = jnp.where(arrive, jnp.roll(ck, -sft), ck)
-        cm = jnp.where(arrive, jnp.roll(cm, -sft), cm)
+        cols = [jnp.where(arrive, jnp.roll(c, -sft), c) for c in cols]
         move = jnp.where(arrive, move_sh - jnp.uint32(sft),
                          jnp.where(leave, jnp.uint32(0), move))
     n_live = jnp.sum(live.astype(jnp.int32))
     keep = jnp.arange(cap, dtype=jnp.int32) < n_live
-    sent_k = (jnp.uint32(0xFFFFFFFF) if ck.dtype == jnp.uint32
+    return tuple(jnp.where(keep, c[:cap], s)
+                 for c, s in zip(cols, sentinels))
+
+
+def _densify(out_k, out_meta, bo, cap):
+    live = out_meta != jnp.uint32(0xFFFFFFFF)
+    sent_k = (jnp.uint32(0xFFFFFFFF) if out_k.dtype == jnp.uint32
               else jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    return (jnp.where(keep, ck[:cap], sent_k),
-            jnp.where(keep, cm[:cap], jnp.uint32(0xFFFFFFFF)))
+    return _densify_cols((out_k, out_meta), live, bo, cap,
+                         (sent_k, jnp.uint32(0xFFFFFFFF)))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "bo", "cap"))
+def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap):
+    """Kmers-only scan chunk for table builds (modutils -a / bench e2e).
+
+    Validity (read boundaries + tail) rides as packed bits (1/8 B/base up),
+    so the ONLY download is the dense kmer rows — half the bytes of the
+    meta path and no host-side position filtering.  Rows come back in exact
+    stream order (see _densify_cols), which is all Modset.add_batch needs
+    for first-encounter-id parity (modset.c:56-59).
+
+    Returns (kmers [cap] u32 for k<=16 else u64, total i32; total < 0
+    signals overflow — caller rescans the chunk on the host oracle)."""
+    C = 32 * (sw.shape[0] - 2)
+    valid = _expand_valid(vbits, C)
+    out_k, out_meta, n_emit, overflow = _scan_compact_core(
+        sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=False)
+    live = out_meta != jnp.uint32(0xFFFFFFFF)
+    if k <= 16:
+        out_k = out_k.astype(jnp.uint32)
+    sent_k = (jnp.uint32(0xFFFFFFFF) if k <= 16
+              else jnp.uint64(0xFFFFFFFFFFFFFFFF))
+    cap = min(cap, out_k.shape[0])
+    (out_k,) = _densify_cols((out_k,), live, bo, cap, (sent_k,))
+    overflow = overflow | (n_emit > cap)
+    total = jnp.where(overflow, jnp.int32(-1), n_emit.astype(jnp.int32))
+    return out_k, total
 
 
 @functools.partial(jax.jit,

@@ -50,13 +50,18 @@ def _validity(offsets: np.ndarray, n: int, k: int) -> np.ndarray:
     lies fully inside one read (used by the sharded device path, which masks
     on device rather than filtering matches on host)."""
     valid = np.ones(n, bool)
-    ends = offsets[1:]
-    lo = np.maximum(ends - (k - 1), offsets[:-1])
-    d = np.zeros(n + 1, np.int64)
-    np.add.at(d, lo, 1)
-    np.add.at(d, np.minimum(ends, n), -1)
-    bad = np.cumsum(d[:-1]) > 0
-    valid &= ~bad
+    ends = np.minimum(offsets[1:], n)
+    lo = np.minimum(np.maximum(ends - (k - 1), offsets[:-1]), ends)
+    # the per-read invalid ranges [lo, end) are disjoint and short (< k),
+    # so enumerate them outright (np.add.at's buffered scatter costs ~5 s
+    # per 32 M positions on this host; this is ~30 ms)
+    lens = (ends - lo).astype(np.int64)
+    tot = int(lens.sum())
+    if tot:
+        cs = np.cumsum(lens)
+        idx = (np.arange(tot, dtype=np.int64)
+               + np.repeat(lo - (cs - lens), lens))
+        valid[idx] = False
     return valid
 
 
@@ -140,6 +145,99 @@ class ModimizerScanner:
             k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
             cap=self.cap)
 
+    def _dispatch_kmers(self, codes: np.ndarray, s: int, vwords: np.ndarray):
+        import jax.numpy as jnp
+        from .device_scan import _scan_chunk_kmers
+        from .packed import pack_sw
+        k = self.sh.k
+        C = self.chunk
+        seg = codes[s:s + C + k - 1]
+        sw = pack_sw(seg, C // 32 + 2)
+        return _scan_chunk_kmers(
+            jnp.asarray(sw), jnp.asarray(vwords[s // 64:s // 64 + C // 64]),
+            k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
+            cap=self.cap)
+
+    def scan_kmers(self, codes: np.ndarray, offsets: np.ndarray,
+                   consumer=None):
+        """Kmers-only scan in exact stream order, pipelined: while chunk N
+        computes on device, chunk N+1..N+4 upload and chunk N-1 downloads,
+        and the host runs ``consumer(kmers)`` (e.g. the native table
+        replay) under the wire time.  Validity is masked ON DEVICE (packed
+        bits ride up with the stream), so the download is just the dense
+        kmer rows — the modutils -a inner loop (modutils.c:19-31) as a
+        host/device pipeline.
+
+        Returns the concatenated kmers array if consumer is None, else the
+        total emit count."""
+        sh = self.sh
+        n = len(codes)
+        codes = np.ascontiguousarray(codes).view(np.uint8)
+        offsets = np.asarray(offsets, np.int64)
+        if n < self.host_threshold:
+            self.used_device = False
+            kms, _gpos, _isF = self._scan_host(codes, offsets)
+            if consumer is None:
+                return kms
+            consumer(kms)
+            return len(kms)
+        self.used_device = True
+        C = self.chunk
+        n_chunks = max(1, -(-n // C))
+        # one packed global validity plane, zero-padded to whole chunks so
+        # the tail positions past n are invalid for free
+        valid = _validity(offsets, n, sh.k)
+        vwords = np.zeros(n_chunks * C // 64, np.uint64)
+        packed = np.packbits(valid, bitorder="little")
+        vwords[:len(packed) // 8] = packed[:len(packed) // 8 * 8].view("<u8")
+        tail = len(packed) % 8
+        if tail:
+            vwords[len(packed) // 8] = int.from_bytes(
+                packed[-tail:].tobytes(), "little")
+        out = [] if consumer is None else None
+        total = 0
+
+        def drain(entry):
+            nonlocal total
+            s, fut = entry
+            km, tot = fut
+            tot = int(tot)
+            if tot < 0:  # cap/block overflow: exact host rescan
+                kms = self._rescan_kmers(s, min(C, n - s), codes, offsets)
+            else:
+                kms = np.asarray(km)[:tot]
+                if kms.dtype != np.uint64:
+                    kms = kms.astype(np.uint64)
+            total += len(kms)
+            if consumer is None:
+                out.append(kms)
+            else:
+                consumer(kms)
+
+        pending = []
+        for s in range(0, max(n, 1), C):
+            if n - s <= 0:
+                break
+            pending.append((s, self._dispatch_kmers(codes, s, vwords)))
+            if len(pending) > self.max_inflight:
+                drain(pending.pop(0))
+        for entry in pending:
+            drain(entry)
+        if consumer is None:
+            return (np.concatenate(out) if out
+                    else np.zeros(0, np.uint64))
+        return total
+
+    def _rescan_kmers(self, s, m, codes, offsets):
+        sh = self.sh
+        seg = codes[s:s + m + sh.k - 1]
+        kms, hashes, isF = sh.scan(seg)
+        P = min(m, len(kms))
+        sel = (hashes[:P] % U64(sh.w)) == U64(0)
+        pos = np.nonzero(sel)[0].astype(np.int64) + s
+        ok, _ = _validity_filter(pos, offsets, sh.k)
+        return kms[:P][sel][ok]
+
     def scan_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """codes: uint8/int8 [N] (values 0..3), offsets: int64 [n_reads+1]."""
         sh = self.sh
@@ -161,14 +259,14 @@ class ModimizerScanner:
             if total < 0:  # block-bo overflow: rows dropped — exact fallback
                 self._rescan_chunk(s, m, codes, offsets, out_k, out_p, out_f)
                 return
-            # rows arrive dense (device butterfly) in block-major order;
-            # the host restores stream order (a device lax.sort costs
-            # minutes of XLA compile on this backend; this argsort of
-            # ~C/w rows is ~ms)
+            # rows arrive dense in exact stream order (position-major
+            # compaction blocks + order-preserving densify); the argsort is
+            # a belt-and-braces fallback only
             km = np.asarray(km)[:total].astype(np.uint64)
             meta = np.asarray(meta)[:total]
-            order = np.argsort(meta, kind="stable")
-            km, meta = km[order], meta[order]
+            if total and np.any(np.diff(meta.astype(np.int64)) < 0):
+                order = np.argsort(meta, kind="stable")  # pragma: no cover
+                km, meta = km[order], meta[order]
             gpos = s + (meta >> 1).astype(np.int64)
             isF = (meta & 1).astype(bool)
             ok, _rid = _validity_filter(gpos, offsets, k)

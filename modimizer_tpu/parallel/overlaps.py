@@ -166,6 +166,10 @@ def overlap_counts(readset, dmax: int = 64, pair_cap: int = None):
     j = (np.arange(len(hits), dtype=np.uint32)
          - np.repeat(off[:-1], np.diff(off)).astype(np.uint32))
     is_c1 = (info[h] & 3) == 1
+    # saturated-depth mods have no inv list (rs_inv_build / modasm.c:269)
+    # and their inv walk is skipped on the x side too — exclude them from
+    # COUNTING everywhere (they still participate in hmap/dup semantics)
+    depth_ok = readset.ms.depth[h] != np.uint16(0xFFFF)
 
     # first-occurrence-within-read of each copy1 mod (modasm.c:335-338):
     # order (x, j) within (x, h) groups picks the smallest j as first
@@ -179,16 +183,18 @@ def overlap_counts(readset, dmax: int = 64, pair_cap: int = None):
     n_repeat = np.bincount(x[dup_c1], minlength=n_reads).astype(np.int32)
     bad_repeat = n_repeat > 0
 
+    is_c1_cnt = is_c1 & depth_ok
+    firstc1_cnt = firstc1 & depth_ok
     if pair_cap is None:
         # expectation sum(depth of first-copy1 rows); cap with margin
-        d = readset.ms.depth[h[firstc1]].astype(np.int64)
+        d = readset.ms.depth[h[firstc1_cnt]].astype(np.int64)
         pair_cap = int(max(1024, min(d.sum() + 1024, 1 << 26)))
     import jax.numpy as jnp
     while True:
         out = _overlap_pairs_device(
             jnp.asarray(x), jnp.asarray(j), jnp.asarray(h),
-            jnp.asarray(strand), jnp.asarray(is_c1), jnp.asarray(firstc1),
-            dmax=dmax, pair_cap=pair_cap)
+            jnp.asarray(strand), jnp.asarray(is_c1_cnt),
+            jnp.asarray(firstc1_cnt), dmax=dmax, pair_cap=pair_cap)
         max_group = int(np.asarray(out[5]))
         if max_group > dmax:   # deeper inv lists than the offset sweep
             dmax = 1 << (max_group - 1).bit_length()

@@ -387,6 +387,13 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     if meta_isf:
         pos = (pos << jnp.uint32(1)) | isF.astype(jnp.uint32)
     emit = valid & mod_is_zero(hashes, w)
+    # position-major before blocking: compaction blocks become contiguous
+    # position ranges and in-block one-hot ranks equal emit order, so the
+    # dense rows leave the device in EXACT stream order — consumers
+    # (scan_kmers table replay, scan_stream) need no reordering.  The
+    # transpose fuses into the staged-front materialization (the planes
+    # are written once either way; measured ~nil on v5e).
+    kmers, pos, emit = kmers.T, pos.T, emit.T
     backend = backend or compact_backend_default()
     int8 = backend.endswith("_i8")
     if backend.startswith("twolevel") and twolevel_b1(bo) < B1:

@@ -1,0 +1,64 @@
+"""Kmers-only pipelined scan (device validity masking) vs the host oracle."""
+
+import numpy as np
+import pytest
+
+import modimizer_tpu
+
+modimizer_tpu.configure_jax()
+
+from modimizer_tpu.core.seqhash import Seqhash
+from modimizer_tpu.ops.seqhash import ModimizerScanner
+
+
+def _mk(rng, n_reads, lo, hi):
+    lens = rng.integers(lo, hi, n_reads)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    codes = rng.integers(0, 4, offsets[-1]).astype(np.uint8)
+    return codes, offsets
+
+
+@pytest.mark.parametrize("k,w", [(16, 16), (19, 31), (11, 10)])
+def test_scan_kmers_matches_host(k, w):
+    sh = Seqhash.create(k, w, 17)
+    rng = np.random.default_rng(5)
+    codes, offsets = _mk(rng, 300, 50, 900)
+    host = ModimizerScanner(sh, host_threshold=1 << 62)
+    want = host.scan_kmers(codes, offsets)
+    # force device path, multi-chunk (chunk rounds down to BLOCK multiple)
+    dev = ModimizerScanner(sh, chunk=1 << 14, host_threshold=0)
+    got = dev.scan_kmers(codes, offsets)
+    assert dev.used_device
+    assert np.array_equal(got, want)
+    # consumer-mode streams the same kmers in the same order
+    parts = []
+    tot = dev.scan_kmers(codes, offsets, consumer=parts.append)
+    assert tot == len(want)
+    assert np.array_equal(np.concatenate(parts), want)
+
+
+def test_scan_kmers_overflow_rescan():
+    """A low-complexity (all-A) stream overflows the per-block row budget;
+    the chunk must fall back to the exact host rescan."""
+    sh = Seqhash.create(16, 16, 17)
+    codes = np.zeros(1 << 15, np.uint8)  # kmer 0 everywhere
+    offsets = np.array([0, len(codes)], np.int64)
+    host = ModimizerScanner(sh, host_threshold=1 << 62)
+    want = host.scan_kmers(codes, offsets)
+    dev = ModimizerScanner(sh, chunk=1 << 14, host_threshold=0)
+    got = dev.scan_kmers(codes, offsets)
+    assert np.array_equal(got, want)
+
+
+def test_scan_stream_rows_in_stream_order():
+    """The dense rows a chunk returns are already in stream order (the
+    in-block one-hot ranks are emit order, blocks are position-major, and
+    the densify butterfly is order-preserving) — the invariant scan_kmers'
+    id-parity relies on."""
+    sh = Seqhash.create(16, 16, 17)
+    rng = np.random.default_rng(9)
+    codes = rng.integers(0, 4, 1 << 15).astype(np.uint8)
+    sc = ModimizerScanner(sh, chunk=1 << 14, host_threshold=0)
+    meta = np.asarray(sc._dispatch(codes, 0, 1 << 14)[1])
+    live = meta[meta != 0xFFFFFFFF]
+    assert np.all(np.diff(live.astype(np.int64)) > 0)
