@@ -19,6 +19,7 @@ import numpy as np
 
 from .seqhash import Seqhash
 from ..native import lib as native_lib
+from ..utils import alloc
 from ..io.fzio import GzWriter, read_maybe_gz
 
 MAGIC = b"MSHSTv2\x00"
@@ -46,6 +47,8 @@ class Modset:
         self.depth = np.zeros(self.size, np.uint16)
         self.info = np.zeros(self.size, np.uint8)
         self.max = 0
+        alloc.add(self.index.nbytes + self.value.nbytes
+                  + self.depth.nbytes + self.info.nbytes)
 
     # ---------------- core lookup/insert ----------------
 
@@ -102,6 +105,7 @@ class Modset:
         self.info = np.ascontiguousarray(self.info[:n]) if n <= len(self.info) \
             else np.concatenate([self.info, np.zeros(n - len(self.info), np.uint8)])
         self.size = n
+        alloc.add(self.value.nbytes + self.depth.nbytes + self.info.nbytes)
         return True
 
     def depth_prune(self, dmin: int, dmax: int) -> None:
@@ -146,6 +150,7 @@ class Modset:
             self.depth = self.depth[:new_size].copy()
             self.info = self.info[:new_size].copy()
         self.size = new_size
+        alloc.add(self.value.nbytes + self.depth.nbytes + self.info.nbytes)
         n = other.max
         if n:
             new_max = native_lib().ms_merge_batch(
@@ -285,6 +290,7 @@ class Modset:
         ms.value = np.frombuffer(buf, np.uint64, size, off); off += 8 * size
         ms.depth = np.frombuffer(buf, np.uint16, size, off); off += 2 * size
         ms.info = np.frombuffer(buf, np.uint8, size, off); off += size
+        alloc.add(4 * ts + 11 * size)
         ms.max = size - 1
         return ms
 

@@ -18,6 +18,7 @@ import ctypes
 import numpy as np
 
 from ..io.carray import ARRAY_MAGIC, _ARR_HDR
+from ..utils import alloc
 from ..native import lib as native_lib, RSView
 from ..ops.seqhash import ModimizerScanner
 from .modset import Modset
@@ -141,6 +142,7 @@ class Readset:
         ms.depth[:ms.max + 1] = np.minimum(depth[:ms.max + 1],
                                            U16MAX).astype(np.uint16)
         self.reads_dim = _grow_dim(INITIAL_DIM, n)
+        alloc.add(self.hits.nbytes + self.dx.nbytes)
         self.inv_build()
 
     def inv_build(self) -> None:
@@ -148,6 +150,7 @@ class Readset:
         ms = self.ms
         self.inv_off = np.zeros(ms.max + 2, np.int64)
         self.inv_reads = np.zeros(max(self.tot_hit, 1), np.uint32)
+        alloc.add(self.inv_off.nbytes + self.inv_reads.nbytes)
         native_lib().rs_inv_build(ctypes.byref(self._view()))
 
     # ---------------- native bridge ----------------

@@ -90,6 +90,11 @@ class SeqBatch:
     descs: list = field(default_factory=list)   # optional description strings
     quals: np.ndarray = None     # concatenated quals aligned with codes (or None)
 
+    def __post_init__(self):
+        from ..utils import alloc
+        alloc.add(self.codes.nbytes + self.offsets.nbytes
+                  + (self.quals.nbytes if self.quals is not None else 0))
+
     @property
     def n(self) -> int:
         return len(self.offsets) - 1

@@ -6,13 +6,16 @@ The reference prints, after every ordered CLI command and at exit, a line
 parsers work; the numbers themselves are inherently machine-dependent.
 
 The ``memory`` column is the reference's cumulative-allocation counter
-(its malloc wrappers count every byte, utils.c:59-75).  Python has no free
-equivalent: set MODIMIZER_MEMORY=1 to account it with tracemalloc (real
-allocation deltas, ~2x interpreter overhead), otherwise it prints 0.
+(its malloc wrappers count every byte, utils.c:59-75; timeUpdate prints the
+RUNNING TOTAL, not a delta).  The framework counts its own allocation choke
+points through utils.alloc by default; set MODIMIZER_MEMORY=1 to use
+tracemalloc instead (every interpreter allocation, ~2x overhead).
 """
 
 import os
 import resource
+
+from . import alloc
 
 
 class Timer:
@@ -20,14 +23,13 @@ class Timer:
         self._first = None
         self._old = None
         self._trace = os.environ.get("MODIMIZER_MEMORY") == "1"
-        self._alloc0 = 0
         if self._trace:
             import tracemalloc
             tracemalloc.start()
 
     def _allocated(self):
         if not self._trace:
-            return 0
+            return alloc.total()
         import tracemalloc
         return tracemalloc.get_traced_memory()[0]
 
@@ -38,21 +40,18 @@ class Timer:
     def update(self, f):
         """Print usage since last call (first call just initialises)."""
         new = self._usage()
-        alloc = self._allocated()
         if self._old is not None:
-            self._print_delta(f, self._old, new, alloc - self._alloc0)
+            # the reference prints the RUNNING TOTAL (utils.c:195)
+            self._print_delta(f, self._old, new, self._allocated())
         else:
             self._first = new
-            self._first_alloc = alloc
         self._old = new
-        self._alloc0 = alloc
 
     def total(self, f):
         """Print usage since the first update() call."""
         if self._first is None:
             return
         self._old = self._first
-        self._alloc0 = getattr(self, "_first_alloc", 0)
         self.update(f)
 
     @staticmethod

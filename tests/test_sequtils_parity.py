@@ -1,11 +1,14 @@
 """Golden parity for composition / seqconvert / seqhoco."""
 
 import io
+import os
 import sys
 
 import pytest
 
 from tests.golden import harness
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 from tests.util import random_fasta, random_fastq, strip_timing
 
 pytestmark = pytest.mark.skipif(not harness.reference_available(),
@@ -173,3 +176,23 @@ def test_native_histograms_match_bincount():
     h = u16_hist(d, 100)
     assert np.array_equal(h, np.bincount(d[d < 100],
                                          minlength=100).astype(np.uint64))
+
+
+def test_memory_column_nonzero_monotone(tmp_path):
+    """The rusage lines' memory column reports the framework's cumulative
+    allocation counter (reference utils.c:59-75,195: running total)."""
+    import re
+    import subprocess
+    import sys
+    fa = tmp_path / "m.fa"
+    random_fasta(fa, 40, 300, seed=3)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", "modutils"),
+         "-c", "20", "16", "16", "17", "-a", str(fa),
+         "-H", str(tmp_path / "h.txt")],
+        capture_output=True, text=True, env=env, check=True)
+    mems = [int(m) for m in re.findall(r"memory\t(\d+)", r.stdout)]
+    assert len(mems) >= 3
+    assert mems[0] > 0
+    assert all(b >= a for a, b in zip(mems, mems[1:]))
