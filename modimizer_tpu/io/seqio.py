@@ -509,9 +509,9 @@ def read_seq_file(filename, convert=None, is_qual=False, want_ids=True):
         return bamio.parse_bam(data, convert, is_qual, want_ids,
                                filename), BAM
     if bamio.is_cram(data):
-        raise ValueError(
-            f"{filename} is a CRAM file; CRAM decoding needs its codec "
-            "stack (htslib) — convert with 'samtools view -b' first")
+        from . import cramio
+        return cramio.parse_cram(data, convert, is_qual, want_ids,
+                                 filename), BAM
     if bamio.looks_like_sam(data):
         return bamio.parse_sam(data, convert, is_qual, want_ids,
                                filename), BAM

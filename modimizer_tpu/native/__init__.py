@@ -145,6 +145,11 @@ def _declare(L):
                                      i64p, u8p, c.c_int64]
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+    L.pk_pack2.restype = None
+    L.pk_pack2.argtypes = [u8p, c.c_int64, u64p, c.c_int64]
+    L.pk_valid_words.restype = None
+    L.pk_valid_words.argtypes = [i64p, c.c_int64, c.c_int64, c.c_int, u64p,
+                                 c.c_int64]
     L.io_byte_hist.restype = None
     L.io_byte_hist.argtypes = [u8p, c.c_int64, u64p]
     L.io_u16_hist.restype = None

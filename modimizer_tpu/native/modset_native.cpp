@@ -142,4 +142,51 @@ int64_t ms_rebuild_table(U32 *table, const U64 *value, int tableBits,
   return max;
 }
 
+// 2-bit pack of base codes into big-endian-per-word u64s (the device scan
+// stream layout, ops/packed.py pack_sw) — single pass, OpenMP over words.
+// Positions past n pack as 0.
+void pk_pack2(const unsigned char *codes, int64_t n, U64 *out,
+              int64_t n_words) {
+  int64_t full = n / 32 < n_words ? n / 32 : n_words;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t w = 0; w < full; ++w) {
+    const unsigned char *c = codes + 32 * w;
+    U64 v = 0;
+    for (int b = 0; b < 32; ++b) v = (v << 2) | (U64)(c[b] & 3);
+    out[w] = v;
+  }
+  for (int64_t w = full; w < n_words; ++w) {
+    U64 v = 0;
+    for (int b = 0; b < 32; ++b) {
+      int64_t p = 32 * w + b;
+      v = (v << 2) | (U64)(p < n ? (codes[p] & 3) : 0);
+    }
+    out[w] = v;
+  }
+}
+
+// packed validity bit-plane straight from read offsets: bit p of word p/64
+// (little-endian bit order) = "k-mer at stream position p lies inside one
+// read".  Replaces the dense-bool + packbits host pass (ops/seqhash.py
+// _validity) on the scan fast path.
+void pk_valid_words(const int64_t *offsets, int64_t n_reads, int64_t n,
+                    int k, U64 *out, int64_t n_words) {
+  int64_t nw_full = n / 64 < n_words ? n / 64 : n_words;
+  memset(out, 0xFF, (size_t)nw_full * 8);
+  for (int64_t w = nw_full; w < n_words; ++w) {
+    U64 v = 0;
+    for (int b = 0; b < 64 && 64 * w + b < n; ++b) v |= ((U64)1) << b;
+    out[w] = v;
+  }
+  for (int64_t i = 0; i < n_reads; ++i) {
+    int64_t end = offsets[i + 1] < n ? offsets[i + 1] : n;
+    int64_t lo = end - (k - 1);
+    if (lo < offsets[i]) lo = offsets[i];
+    for (int64_t p = lo; p < end; ++p)
+      out[p / 64] &= ~(((U64)1) << (p % 64));
+  }
+}
+
 }  // extern "C"

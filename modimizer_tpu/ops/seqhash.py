@@ -139,20 +139,30 @@ class ModimizerScanner:
         C = self.chunk
         NW = C // 32
         seg = codes[s:s + C + k - 1]
-        sw = pack_sw(seg, NW + 2)
+        sw = self._pack_native(seg, NW + 2)
         return _scan_chunk(
             jnp.asarray(sw), jnp.int32(m),
             k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
             cap=self.cap)
 
+    @staticmethod
+    def _pack_native(seg: np.ndarray, n_words: int) -> np.ndarray:
+        """Single-pass native 2-bit pack (pack_sw layout); the numpy
+        multi-pass pack costs ~0.16 s per 32 M-base chunk on this host —
+        real money when the e2e budget is ~2.8 s for 200 Mbp."""
+        from ..native import lib as native_lib
+        out = np.empty(n_words, np.uint64)
+        native_lib().pk_pack2(np.ascontiguousarray(seg).view(np.uint8),
+                              len(seg), out, n_words)
+        return out
+
     def _dispatch_kmers(self, codes: np.ndarray, s: int, vwords: np.ndarray):
         import jax.numpy as jnp
         from .device_scan import _scan_chunk_kmers
-        from .packed import pack_sw
         k = self.sh.k
         C = self.chunk
         seg = codes[s:s + C + k - 1]
-        sw = pack_sw(seg, C // 32 + 2)
+        sw = self._pack_native(seg, C // 32 + 2)
         return _scan_chunk_kmers(
             jnp.asarray(sw), jnp.asarray(vwords[s // 64:s // 64 + C // 64]),
             k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
@@ -186,14 +196,10 @@ class ModimizerScanner:
         n_chunks = max(1, -(-n // C))
         # one packed global validity plane, zero-padded to whole chunks so
         # the tail positions past n are invalid for free
-        valid = _validity(offsets, n, sh.k)
-        vwords = np.zeros(n_chunks * C // 64, np.uint64)
-        packed = np.packbits(valid, bitorder="little")
-        vwords[:len(packed) // 8] = packed[:len(packed) // 8 * 8].view("<u8")
-        tail = len(packed) % 8
-        if tail:
-            vwords[len(packed) // 8] = int.from_bytes(
-                packed[-tail:].tobytes(), "little")
+        from ..native import lib as native_lib
+        vwords = np.empty(n_chunks * C // 64, np.uint64)
+        native_lib().pk_valid_words(offsets, len(offsets) - 1, n, sh.k,
+                                    vwords, len(vwords))
         out = [] if consumer is None else None
         total = 0
 

@@ -166,12 +166,13 @@ def _expand_valid(vbits, C):
 
 def compact_backend_default():
     """Compaction backend policy (overridable with MODIMIZER_COMPACT).
-    Single-level bf16 one-hot remains the measured champion on v5e
-    (docs/PERF.md round-3 ablation: 10.5 ms vs 12.1/13.2/14.8 for the
-    int8/two-level variants — the cube is fused into the dot by XLA, so
-    shrinking its bytes does not pay)."""
+    int8 one-hot (biased limbs, s32 accumulation) measured fastest in both
+    round-3 chip sessions (11.25 / 12.28 ms vs 13.5 / 14.1 bf16 and
+    13.1 / 14.5 two-level per 2^24 positions — docs/PERF.md round-3
+    ablation); halving the one-hot cube's operand bytes wins, a second
+    compaction level does not."""
     import os
-    return os.environ.get("MODIMIZER_COMPACT", "onehot")
+    return os.environ.get("MODIMIZER_COMPACT", "onehot_i8")
 
 
 def _stage_fronts(kmers, pos, emit, k):
@@ -359,7 +360,7 @@ def _compact_blocks_twolevel(kmers, pos, emit, *, k, C, bo, int8=True):
 
 
 def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
-                       backend=None):
+                       backend=None, posmajor=True):
     """Single-device scan step with MXU compaction, phase-major layout.
 
     All elementwise work runs on [32, NW] arrays (minor dim NW keeps the
@@ -387,13 +388,14 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     if meta_isf:
         pos = (pos << jnp.uint32(1)) | isF.astype(jnp.uint32)
     emit = valid & mod_is_zero(hashes, w)
-    # position-major before blocking: compaction blocks become contiguous
-    # position ranges and in-block one-hot ranks equal emit order, so the
-    # dense rows leave the device in EXACT stream order — consumers
-    # (scan_kmers table replay, scan_stream) need no reordering.  The
-    # transpose fuses into the staged-front materialization (the planes
-    # are written once either way; measured ~nil on v5e).
-    kmers, pos, emit = kmers.T, pos.T, emit.T
+    if posmajor:
+        # position-major before blocking: compaction blocks become
+        # contiguous position ranges and in-block one-hot ranks equal emit
+        # order, so the dense rows leave the device in EXACT stream order —
+        # consumers (scan_kmers table replay, scan_stream) need no
+        # reordering.  Costs ~0.5 ms/2^24 on v5e; order-insensitive
+        # consumers (the sharded route, which sorts anyway) skip it.
+        kmers, pos, emit = kmers.T, pos.T, emit.T
     backend = backend or compact_backend_default()
     int8 = backend.endswith("_i8")
     if backend.startswith("twolevel") and twolevel_b1(bo) < B1:
@@ -453,8 +455,10 @@ def _compact_blocks_butterfly(kmers, pos, emit, *, k, C, bo):
                    static_argnames=("k", "w", "factor1", "C", "bo",
                                     "backend"))
 def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo, backend=None):
+    # builder path: consumers sort downstream, skip the posmajor transpose
     return _scan_compact_core(sw, _expand_valid(vbits, C), k=k, w=w,
-                              factor1=factor1, C=C, bo=bo, backend=backend)
+                              factor1=factor1, C=C, bo=bo, backend=backend,
+                              posmajor=False)
 
 
 @functools.partial(jax.jit,
@@ -467,7 +471,7 @@ def _scan_compact_local_packed(buf, *, k, w, factor1, C, bo):
     sw = buf[:NW + 2]
     vb = buf[NW + 2:NW + 2 + C // 64]
     return _scan_compact_core(sw, _expand_valid(vb, C), k=k, w=w,
-                              factor1=factor1, C=C, bo=bo)
+                              factor1=factor1, C=C, bo=bo, posmajor=False)
 
 
 @functools.partial(jax.jit,
@@ -489,7 +493,7 @@ def sharded_scan_route(sw, vbits, gpos_base, *, k, w, factor1, cap, n_shards,
         sw_l, vb_l, base_l = sw_l[0], vb_l[0], base_l[0, 0]
         ck, cp, n_emit, ovf_blk = _scan_compact_core(
             sw_l, _expand_valid(vb_l, C), k=k, w=w, factor1=factor1, C=C,
-            bo=bo)
+            bo=bo, posmajor=False)
         live = ck != U64_SENTINEL
         # canonical hash from the compacted kmer (seqhash.h:58) for routing
         hashes = (ck * jnp.uint64(factor1)) >> jnp.uint64(64 - 2 * k)

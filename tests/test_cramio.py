@@ -1,0 +1,164 @@
+"""CRAM 3.0 reader/writer (io/cramio.py): codec round trips, BAM/CRAM twin
+equality through the seqio layer, and modset-pipeline equality vs FASTA.
+
+No htslib/samtools exists in this image, so the writer is the generator —
+it emits spec-section-accurate containers exercising raw/gzip/bzip2/lzma/
+rANS(0,1) blocks, EXTERNAL/HUFFMAN/BYTE_ARRAY_STOP encodings, unmapped (BA)
+records and mapped records against an embedded reference."""
+
+import numpy as np
+import pytest
+
+from modimizer_tpu.io import bamio, cramio, seqio
+
+BASES = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _reads(rng, n, lo=50, hi=400):
+    names, seqs, quals = [], [], []
+    for i in range(n):
+        ln = int(rng.integers(lo, hi))
+        seqs.append(BASES[rng.integers(0, 4, ln)].tobytes())
+        quals.append(rng.integers(0, 45, ln).astype(np.uint8).tobytes())
+        names.append(f"read{i}")
+    return names, seqs, quals
+
+
+def test_rans_roundtrip_fuzz():
+    rng = np.random.default_rng(1)
+    for t in range(60):
+        order = int(rng.integers(0, 2))
+        n = int(rng.integers(0, 3000))
+        na = int(rng.integers(1, 257))
+        d = rng.integers(0, na, n).astype(np.uint8).tobytes()
+        assert cramio.rans_decode(cramio.rans_encode(d, order), n) == d
+
+
+def test_itf8_ltf8_edges():
+    for v in (0, 0x7F, 0x80, 0x3FFF, 0x4000, 0x1FFFFF, 0x200000,
+              0x0FFFFFFF, 0x10000000, 0x7FFFFFFF, 0xFFFFFFFF):
+        b = cramio.itf8_put(v)
+        got, p = cramio.itf8_get(b, 0)
+        assert got == v and p == len(b)
+    for v in (0, 0x80, 0x4000, 0x10000000, 0x800000000, 2**48, 2**63,
+              2**64 - 1):
+        b = cramio.ltf8_put(v)
+        got, p = cramio.ltf8_get(b, 0)
+        assert got == v and p == len(b)
+
+
+def test_cram_bam_twins_unmapped(tmp_path):
+    """A CRAM and a BAM of the same unmapped reads parse identically."""
+    rng = np.random.default_rng(7)
+    names, seqs, quals = _reads(rng, 120)
+    cram = tmp_path / "r.cram"
+    bam = tmp_path / "r.bam"
+    cramio.write_cram(str(cram), names, seqs, quals)
+    bamio.write_bam(str(bam), names, seqs,
+                    [np.frombuffer(q, np.uint8) for q in quals])
+    conv = seqio.dna2index_n0()
+    bc, _ = seqio.read_seq_file(str(cram), conv, is_qual=True, want_ids=True)
+    bb, _ = seqio.read_seq_file(str(bam), conv, is_qual=True, want_ids=True)
+    assert np.array_equal(bc.codes, bb.codes)
+    assert np.array_equal(bc.offsets, bb.offsets)
+    assert np.array_equal(bc.quals, bb.quals)
+    assert bc.ids == bb.ids == names
+
+
+def test_cram_multi_container(tmp_path):
+    rng = np.random.default_rng(8)
+    names, seqs, quals = _reads(rng, 55)
+    cram = tmp_path / "m.cram"
+    cramio.write_cram(str(cram), names, seqs, quals, per_container=16)
+    b, _ = seqio.read_seq_file(str(cram), None, is_qual=True, want_ids=True)
+    assert b.n == 55
+    got = [bytes(b.seq(i)) for i in range(b.n)]
+    assert got == list(seqs)
+    assert b.ids == names
+
+
+def test_cram_mapped_embedded_ref(tmp_path):
+    """Mapped records reconstruct through the embedded reference +
+    substitution features."""
+    rng = np.random.default_rng(9)
+    ref = BASES[rng.integers(0, 4, 5000)].tobytes()
+    names, seqs, quals, pos = [], [], [], []
+    for i in range(60):
+        p = int(rng.integers(0, 4500))
+        ln = int(rng.integers(60, 400))
+        s = bytearray(ref[p:p + ln])
+        # sprinkle substitutions
+        for _ in range(int(rng.integers(0, 6))):
+            j = int(rng.integers(0, len(s)))
+            s[j] = BASES[(np.frombuffer(BASES.tobytes(), np.uint8).tolist()
+                          .index(s[j]) + int(rng.integers(1, 4))) % 4]
+        names.append(f"m{i}")
+        seqs.append(bytes(s))
+        quals.append(rng.integers(0, 45, len(s)).astype(np.uint8).tobytes())
+        pos.append(p)
+    cram = tmp_path / "map.cram"
+    cramio.write_cram(str(cram), names, seqs, quals, embed_ref=ref,
+                      positions=pos)
+    b, _ = seqio.read_seq_file(str(cram), None, is_qual=True, want_ids=True)
+    got = [bytes(b.seq(i)) for i in range(b.n)]
+    assert got == seqs
+    for i in range(b.n):
+        assert bytes(b.qual(i).astype(np.uint8)) == quals[i]
+
+
+def test_cram_modset_pipeline_matches_fasta(tmp_path):
+    """BASELINE parity: the modset built from a CRAM equals the one built
+    from the FASTA of the same reads (modutils -a semantics)."""
+    import subprocess
+    import sys
+    import os
+    rng = np.random.default_rng(10)
+    names, seqs, _ = _reads(rng, 100, 100, 600)
+    fa = tmp_path / "r.fa"
+    with open(fa, "wb") as f:
+        for nm, s in zip(names, seqs):
+            f.write(b">" + nm.encode() + b"\n" + s + b"\n")
+    cram = tmp_path / "r.cram"
+    cramio.write_cram(str(cram), names, seqs)
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    for src, mod in ((fa, "fa.mod"), (cram, "cr.mod")):
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "bin", "modutils"),
+             "-c", "20", "16", "16", "17", "-a", str(src),
+             "-w", str(tmp_path / mod)],
+            check=True, capture_output=True, env=env)
+    assert (tmp_path / "fa.mod").read_bytes() == \
+        (tmp_path / "cr.mod").read_bytes()
+
+
+def test_cram_external_ref_error(tmp_path):
+    """A mapped slice with no embedded reference dies with a clear
+    message, not a misparse."""
+    rng = np.random.default_rng(11)
+    ref = BASES[rng.integers(0, 4, 1000)].tobytes()
+    names = ["x"]
+    seqs = [ref[100:300]]
+    cram = tmp_path / "e.cram"
+    cramio.write_cram(str(cram), names, seqs, embed_ref=ref, positions=[100])
+    raw = bytearray(cram.read_bytes())
+    # surgically strip the embedded-ref: easier — re-write with a writer
+    # hack is fragile; instead decode normally then assert the error path
+    # by constructing a SliceDecoder with no ref block
+    data = cram.read_bytes()
+    p = 26
+    h, p = cramio.read_container_header(data, p)   # header container
+    p += h["length"]
+    h, p = cramio.read_container_header(data, p)
+    blocks = []
+    end = p + h["length"]
+    while p < end:
+        b, p = cramio.read_block(data, p)
+        blocks.append(b)
+    pres, dsm, tagenc = cramio.parse_compression_header(blocks[0].data)
+    sh = cramio.parse_slice_header(blocks[1].data)
+    sh["embedded_ref_id"] = -1
+    sblocks = [b for b in blocks[2:] if b.cid != 100 or b.ctype != 4]
+    dec = cramio.SliceDecoder(pres, dsm, tagenc, sblocks, sh)
+    with pytest.raises(ValueError, match="external\\s+reference"):
+        dec.decode_records("e.cram")
