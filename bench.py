@@ -155,7 +155,8 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     int(np.asarray(out[2]))  # warm + true sync
     reps = 16
     best = None
-    for _batch in range(3):  # best-of-3: the shared chip has >15% swings
+    for _batch in range(5):  # best-of-5: same-program step times swing
+        # 11-18 ms across hours on this shared chip (docs/PERF.md r3)
         t0 = time.perf_counter()
         dep = jnp.int64(0)
         for _ in range(reps):
