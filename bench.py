@@ -167,7 +167,7 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
         best = dt if best is None else min(best, dt)
     chip = reps * C / best
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
-        f"({best/reps*1e3:.1f} ms/step of {C}, best of 3 batches)")
+        f"({best/reps*1e3:.1f} ms/step of {C}, best of 5 batches)")
     return chip
 
 
