@@ -818,8 +818,12 @@ def sharded_merge_step(kmers, depth, info, rank, *, n_shards, cap, mesh):
     """Route (kmer, depth, info, rank) rows by a kmer partition; per shard
     reduce with the reference's exact merge math (modset.c:106-128):
       depth: saturating U16 add (modset.c:122)
-      info:  A-only keeps full info; A+B -> (infoA & 3) | min(cA+cB, 3)
-             (flag bits cleared, modset.c:124-125); B-only -> copyB
+      info:  A-only keeps full info (modsetMerge never touches it); any
+             entry the B pass lands on gets (infoA & 3) | min(cA+cB, 3)
+             with flag bits cleared (modset.c:124-125) — for B-only kmers
+             infoA is the fresh entry's 0, so the result is copyB with B's
+             flags CLEARED.  B rows carry marker bit 8 in the u32 info
+             column so singles know their origin.
       rank:  min (first-encounter order for the replayed insertion stream)
 
     A rows always carry smaller ranks than B rows, so after a (kmer, rank)
@@ -884,7 +888,10 @@ def sharded_merge_step(kmers, depth, info, rank, *, n_shards, cap, mesh):
         i_p = jnp.take(i_s, p)
         i_q = jnp.take(i_s, q)
         c_sum = jnp.minimum((i_p & 3) + (i_q & 3), jnp.uint32(3))
-        info_out = jnp.where(both, (i_p & jnp.uint32(3)) | c_sum, i_p)
+        is_b = (i_p >> jnp.uint32(8)) & jnp.uint32(1)
+        single = jnp.where(is_b == 1, i_p & jnp.uint32(3),
+                           i_p & jnp.uint32(0xFF))
+        info_out = jnp.where(both, (i_p & jnp.uint32(3)) | c_sum, single)
         rank_out = jnp.take(r_s, p)
         is_head = jj < n_heads
         S = n_shards * cap
@@ -919,8 +926,9 @@ def sharded_merge(ms1, ms2, mesh: Mesh):
                             np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)])
     depth = np.concatenate([ms1.depth[1:n1 + 1], ms2.depth[1:n2 + 1],
                             np.zeros(pad, np.uint16)]).astype(np.uint32)
-    info = np.concatenate([ms1.info[1:n1 + 1], ms2.info[1:n2 + 1],
-                           np.zeros(pad, np.uint8)]).astype(np.uint32)
+    info = np.concatenate([ms1.info[1:n1 + 1].astype(np.uint32),
+                           ms2.info[1:n2 + 1].astype(np.uint32) | 0x100,
+                           np.zeros(pad, np.uint32)])
     rank = np.concatenate([np.arange(total, dtype=np.uint64),
                            np.full(pad, 0xFFFFFFFFFFFFFFFF, np.uint64)])
 

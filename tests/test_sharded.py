@@ -200,3 +200,27 @@ def test_sharded_build_non_pow2_w():
     ks, ds = b.finalize()
     assert np.array_equal(ks, uniq)
     assert np.array_equal(ds, counts)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_sharded_merge_clears_flags_of_new_entries():
+    """modsetMerge's B pass runs info = (info & 3) | min(cA+cB, 3) on EVERY
+    entry it lands on — so B-only kmers arrive with their flag bits
+    CLEARED (fresh entry info is 0, modset.c:124-125), while A-only kmers
+    keep full info.  Caught by fuzz_sharded trial 7 (round 3)."""
+    from modimizer_tpu.core.modset import Modset
+    from modimizer_tpu.parallel.sharded import sharded_merge
+    sh_args = (16, 16, 17)
+    ms_a = Modset(Seqhash.create(*sh_args), 20)
+    ms_a.add_batch(np.array([11, 22, 33], np.uint64))
+    ms_a.info[1:4] = [0x31, 0x02, 0x13]      # flags + copy bits
+    ms_b = Modset(Seqhash.create(*sh_args), 20)
+    ms_b.add_batch(np.array([22, 44], np.uint64))
+    ms_b.info[1:3] = [0x21, 0x3A]            # 44 is new to A, has flags
+    got = sharded_merge(ms_a, ms_b, build_mesh())
+    assert ms_a.merge(ms_b)
+    n = ms_a.max
+    ks, ds, infos = got
+    assert np.array_equal(ks, ms_a.value[1:n + 1])
+    assert np.array_equal(ds, ms_a.depth[1:n + 1])
+    assert np.array_equal(infos, ms_a.info[1:n + 1])
