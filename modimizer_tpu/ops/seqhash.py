@@ -26,6 +26,7 @@ import functools
 import numpy as np
 
 from ..core.seqhash import Seqhash
+from ..utils import profiling
 
 DEFAULT_CHUNK = 1 << 25  # 32 Mbase per device dispatch
 BLOCK = 4096             # positions per compaction block
@@ -161,12 +162,15 @@ class ModimizerScanner:
         from .device_scan import _scan_chunk_kmers
         k = self.sh.k
         C = self.chunk
-        seg = codes[s:s + C + k - 1]
-        sw = self._pack_native(seg, C // 32 + 2)
-        return _scan_chunk_kmers(
-            jnp.asarray(sw), jnp.asarray(vwords[s // 64:s // 64 + C // 64]),
-            k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
-            cap=self.cap)
+        with profiling.stage("scan.pack"):
+            seg = codes[s:s + C + k - 1]
+            sw = self._pack_native(seg, C // 32 + 2)
+        with profiling.stage("scan.dispatch"):
+            return _scan_chunk_kmers(
+                jnp.asarray(sw),
+                jnp.asarray(vwords[s // 64:s // 64 + C // 64]),
+                k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
+                cap=self.cap)
 
     def scan_kmers(self, codes: np.ndarray, offsets: np.ndarray,
                    consumer=None):
@@ -197,9 +201,10 @@ class ModimizerScanner:
         # one packed global validity plane, zero-padded to whole chunks so
         # the tail positions past n are invalid for free
         from ..native import lib as native_lib
-        vwords = np.empty(n_chunks * C // 64, np.uint64)
-        native_lib().pk_valid_words(offsets, len(offsets) - 1, n, sh.k,
-                                    vwords, len(vwords))
+        with profiling.stage("scan.validity"):
+            vwords = np.empty(n_chunks * C // 64, np.uint64)
+            native_lib().pk_valid_words(offsets, len(offsets) - 1, n, sh.k,
+                                        vwords, len(vwords))
         out = [] if consumer is None else None
         total = 0
 
@@ -207,28 +212,32 @@ class ModimizerScanner:
             nonlocal total
             s, fut = entry
             km, tot = fut
-            tot = int(tot)
-            if tot < 0:  # cap/block overflow: exact host rescan
-                kms = self._rescan_kmers(s, min(C, n - s), codes, offsets)
-            else:
-                kms = np.asarray(km)[:tot]
-                if kms.dtype != np.uint64:
-                    kms = kms.astype(np.uint64)
+            with profiling.stage("scan.download"):
+                tot = int(tot)
+                if tot < 0:  # cap/block overflow: exact host rescan
+                    kms = self._rescan_kmers(s, min(C, n - s), codes,
+                                             offsets)
+                else:
+                    kms = np.asarray(km)[:tot]
+                    if kms.dtype != np.uint64:
+                        kms = kms.astype(np.uint64)
             total += len(kms)
             if consumer is None:
                 out.append(kms)
             else:
-                consumer(kms)
+                with profiling.stage("scan.consumer"):
+                    consumer(kms)
 
-        pending = []
-        for s in range(0, max(n, 1), C):
-            if n - s <= 0:
-                break
-            pending.append((s, self._dispatch_kmers(codes, s, vwords)))
-            if len(pending) > self.max_inflight:
-                drain(pending.pop(0))
-        for entry in pending:
-            drain(entry)
+        with profiling.trace_region():
+            pending = []
+            for s in range(0, max(n, 1), C):
+                if n - s <= 0:
+                    break
+                pending.append((s, self._dispatch_kmers(codes, s, vwords)))
+                if len(pending) > self.max_inflight:
+                    drain(pending.pop(0))
+            for entry in pending:
+                drain(entry)
         if consumer is None:
             return (np.concatenate(out) if out
                     else np.zeros(0, np.uint64))
