@@ -98,21 +98,25 @@ def timed_pair(name, tool, arg_lists, fixture=None):
     # registration (~4 s of every python start the C binaries don't pay).
     env = {**os.environ, "MODIMIZER_SCAN": "host"}
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    out = {}
-    reps = int(os.environ.get("MODIMIZER_BENCH_REPS", "2"))
-    for side, prefix in (("ref", [bin_ref]), ("ours", bin_ours)):
+    out = {"ref": [], "ours": []}
+    reps = int(os.environ.get("MODIMIZER_BENCH_REPS", "3"))
+    sides = {"ref": [bin_ref], "ours": bin_ours}
+    for side in sides:
         d = os.path.join(DATA, f"{name}_{side}")
         os.makedirs(d, exist_ok=True)
         if fixture:
             fixture(d)
-        # min over reps: this 1-core VM has heavy steal-time noise (>20%
-        # swings run to run), and min-of-n is the standard de-noiser
-        out[side] = min(
-            sum(_run(prefix + [str(a) for a in args], d,
-                     env=env if side == "ours" else None)
-                for args in arg_lists)
-            for _ in range(reps))
-    return out["ref"], out["ours"]
+    # INTERLEAVED min-of-n: this 1-core VM's steal-time noise swings >20%
+    # on minute scales, so consecutive same-side reps share the same bad
+    # window; alternating ref/ours pairs the noise across sides
+    for _ in range(reps):
+        for side, prefix in sides.items():
+            d = os.path.join(DATA, f"{name}_{side}")
+            out[side].append(
+                sum(_run(prefix + [str(a) for a in args], d,
+                         env=env if side == "ours" else None)
+                    for args in arg_lists))
+    return min(out["ref"]), min(out["ours"])
 
 
 def fixture_mod1(d):

@@ -190,7 +190,11 @@ def main(argv=None):
             need_rs().native_call("rs_assemble_from_mod", out.f,
                                   int(m[1]), int(m[2]), int(is_verbose))
         elif args.match("-u", "--cluster", 1):
-            need_rs().native_call("rs_cluster", out.f)
+            r = need_rs()
+            if _use_device_overlaps(r):
+                _overlaps_pre(r, "rs_cluster_pre", out.f)
+            else:
+                r.native_call("rs_cluster", out.f)
         elif args.match("-C", "--cleanmods", 1):
             need_rs().native_call("rs_clean_mods", out.f)
         elif (m := args.match("-T", "--testmods", 3)):

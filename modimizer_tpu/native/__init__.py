@@ -128,6 +128,7 @@ def _declare(L):
     for name, extra in [
             ("rs_mark_bad_pre", cand),
             ("rs_mark_contained_pre", cand),
+            ("rs_cluster_pre", cand),
             ("rs_overlaps_every_pre", [c.c_int64] + cand),
     ]:
         fn = getattr(L, name)

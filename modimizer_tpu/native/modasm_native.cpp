@@ -653,6 +653,60 @@ extern "C" void rs_overlaps_every_pre(RSView *v, I64 d, const U32 *candY,
   sinksClose(s);
 }
 
+extern "C" void rs_cluster_pre(RSView *v, const U32 *candY,
+                               const U16 *candHit, const I64 *candOff) {
+  // rs_cluster with device-precomputed candidates: kills the per-read inv
+  // walks that make low-coverage clustering minutes-quadratic
+  // (modasm.c:461-510); output identical.
+  Sinks s = sinksOpen(v);
+  I64 nr = v->nReads;
+  std::vector<int> link((size_t)nr, 0);
+  int nOverlapMade = 0, nNonEmpty = 0;
+  std::vector<Olap> olap;
+  for (I64 i = 1; i < nr; ++i)
+    if (!link[i]) {
+      findOverlapsPre(v, i, 0, s.out, olap, candY + candOff[i],
+                      candHit + candOff[i], candOff[i + 1] - candOff[i]);
+      int iLink = (int)i;
+      size_t j = 1;
+      for (Olap *o = olap.data(); j < olap.size(); ++j, ++o) {
+        if (o->iy == (U32)i) continue;
+        U32 z = o->iy;
+        while (link[z]) {
+          if (link[z] == iLink) break;
+          z = link[z];
+        }
+        if (!link[z]) {
+          if ((int)(z + 1) > iLink) link[z] = iLink;
+          else link[iLink - 1] = z;  // reference writes here (modasm.c:480)
+        }
+      }
+      ++nOverlapMade;
+      if (olap.size() > 1) ++nNonEmpty;
+    }
+  fprintf(s.so, "made %d overlap arrays, of which %d nonEmpty\n", nOverlapMade,
+          nNonEmpty);
+  int nClus = 0;
+  std::vector<int> clus((size_t)nr, 0);
+  for (I64 i = 1; i < nr; ++i)
+    if (link[i]) clus[i] = clus[link[i]];
+    else clus[i] = ++nClus;
+  std::vector<int> clusSize((size_t)nClus + 1, 0);
+  for (I64 i = 1; i < nr; ++i) ++clusSize[clus[i]];
+  int nProperCluster = 0;
+  std::vector<int> properClus((size_t)nClus + 1, 0);
+  for (int i = 0; i < nClus; ++i)
+    if (clusSize[i] > 1) {
+      properClus[i] = ++nProperCluster;
+      fprintf(s.so, "proper cluster %d size %d\n", nProperCluster,
+              clusSize[i]);
+      clusSize[nProperCluster] = clusSize[i];  // reference clobber, kept
+    }
+  fprintf(s.so, "found %d clusters of which %d are proper\n", nClus,
+          nProperCluster);
+  sinksClose(s);
+}
+
 // ------------------------------------------------------------------
 // markBadReads (modasm.c:1266-1322)
 // ------------------------------------------------------------------

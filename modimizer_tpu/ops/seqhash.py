@@ -228,12 +228,24 @@ class ModimizerScanner:
                 with profiling.stage("scan.consumer"):
                     consumer(kms)
 
+        def prefetch(fut):
+            # queue the device->host copy right behind the compute so the
+            # transfer of chunk N-1 rides under chunk N's step instead of
+            # serializing at np.asarray (the remote backend copies lazily)
+            for a in fut:
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, RuntimeError):  # pragma: no cover
+                    break
+            return fut
+
         with profiling.trace_region():
             pending = []
             for s in range(0, max(n, 1), C):
                 if n - s <= 0:
                     break
-                pending.append((s, self._dispatch_kmers(codes, s, vwords)))
+                pending.append(
+                    (s, prefetch(self._dispatch_kmers(codes, s, vwords))))
                 if len(pending) > self.max_inflight:
                     drain(pending.pop(0))
             for entry in pending:

@@ -60,6 +60,8 @@ def _run(d, mode, args):
     ["-b", "-S", "-c", "-S"],          # triage then containment, with stats
     ["-o2", "7"],                      # RR lines for every 7th read
     ["-b", "-o2", "3"],                # RR lines after bad-marking
+    ["-u"],                            # single-linkage clustering
+    ["-b", "-u"],                      # clustering after bad-marking
 ])
 def test_device_overlaps_match_serial(dataset, args):
     h = _run(dataset, "host", args)
