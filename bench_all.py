@@ -12,7 +12,10 @@ publishes no numbers, so the baseline IS the compiled reference binary
   5. modasm overlap triage + assembly
 
 Prints one JSON line per config: {"config", "name", "ref_s", "ours_s",
-"speedup"}.  Synthetic data is cached in /tmp/modimizer_bench_all.
+"speedup", "ref_cpu_s", "ours_cpu_s", "cpu_speedup"} — wall and child-CPU
+(RUSAGE_CHILDREN) minima over interleaved reps; the cpu numbers are
+steal-immune on this heavily contended 1-core VM.  Synthetic data is
+cached in /tmp/modimizer_bench_all.
 `bench.py` remains the driver's headline single-metric benchmark.
 """
 
@@ -78,11 +81,15 @@ def make_data():
 
 
 def _run(cmd, cwd, env=None):
+    import resource
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     t0 = time.perf_counter()
     r = subprocess.run(cmd, cwd=cwd, capture_output=True, text=True, env=env)
     dt = time.perf_counter() - t0
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
     assert r.returncode == 0, (cmd, r.stderr[-800:])
-    return dt
+    cpu = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
+    return dt, cpu
 
 
 def timed_pair(name, tool, arg_lists, fixture=None):
@@ -108,15 +115,22 @@ def timed_pair(name, tool, arg_lists, fixture=None):
             fixture(d)
     # INTERLEAVED min-of-n: this 1-core VM's steal-time noise swings >20%
     # on minute scales, so consecutive same-side reps share the same bad
-    # window; alternating ref/ours pairs the noise across sides
+    # window; alternating ref/ours pairs the noise across sides.  Each rep
+    # records (wall, cpu); cpu (RUSAGE_CHILDREN) is steal-immune and is
+    # what the reference itself reports after every command.
     for _ in range(reps):
         for side, prefix in sides.items():
             d = os.path.join(DATA, f"{name}_{side}")
-            out[side].append(
-                sum(_run(prefix + [str(a) for a in args], d,
+            runs = [_run(prefix + [str(a) for a in args], d,
                          env=env if side == "ours" else None)
-                    for args in arg_lists))
-    return min(out["ref"]), min(out["ours"])
+                    for args in arg_lists]
+            out[side].append((sum(w for w, _ in runs),
+                              sum(c for _, c in runs)))
+    ref_w = min(w for w, _ in out["ref"])
+    ref_c = min(c for _, c in out["ref"])
+    ours_w = min(w for w, _ in out["ours"])
+    ours_c = min(c for _, c in out["ours"])
+    return (ref_w, ref_c), (ours_w, ours_c)
 
 
 def fixture_mod1(d):
@@ -144,7 +158,9 @@ def main():
     a = open(os.path.join(DATA, "c1_ref", "X1.mod"), "rb").read()
     b = open(os.path.join(DATA, "c1_ours", "X1.mod"), "rb").read()
     assert a == b, "config-1 .mod outputs diverged"
-    results.append((1, "composition+modset_build", ref_s + r2, ours_s + o2))
+    results.append((1, "composition+modset_build",
+                    (ref_s[0] + r2[0], ref_s[1] + r2[1]),
+                    (ours_s[0] + o2[0], ours_s[1] + o2[1])))
 
     # 2. depth histogram + single-copy k-mer selection
     ref_s, ours_s = timed_pair(
@@ -201,8 +217,11 @@ def main():
 
     for cfg, name, r, o in results:
         print(json.dumps({"config": cfg, "name": name,
-                          "ref_s": round(r, 2), "ours_s": round(o, 2),
-                          "speedup": round(r / o, 2)}))
+                          "ref_s": round(r[0], 2), "ours_s": round(o[0], 2),
+                          "speedup": round(r[0] / o[0], 2),
+                          "ref_cpu_s": round(r[1], 2),
+                          "ours_cpu_s": round(o[1], 2),
+                          "cpu_speedup": round(r[1] / o[1], 2)}))
 
 
 if __name__ == "__main__":

@@ -281,6 +281,49 @@ def twolevel_b1(bo: int) -> int:
     return int(min(B1, max(32, -(-bo // 4 // 32) * 32)))
 
 
+def _compact_blocks_gather(kmers, pos, emit, *, k, C, bo):
+    """Gather-based compaction: instead of materializing the C*bo one-hot
+    cube (the step's dominant HBM traffic), find the j-th emit's in-block
+    index by binary search on the inclusive cumsum (10 rounds of [nb, bo]
+    take_along_axis probes) and gather the u32 planes directly.  Bit-
+    identical rows/slots/sentinels to the one-hot backends."""
+    nb = C // BLK
+    klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
+    e2 = emit.reshape(nb, BLK)
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+          ).astype(jnp.bfloat16)
+    csum = jax.lax.dot_general(e2.astype(jnp.bfloat16), ut,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)           # [nb, BLK]
+    cnts = csum[:, -1]
+    target = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) + 1
+    # binary search: smallest p with csum[p] >= target (the j-th emit's
+    # position; emits have csum[p] == csum[p-1]+1 so the hit is exact)
+    lo = jnp.zeros((nb, bo), jnp.int32)
+    hi = jnp.full((nb, bo), BLK - 1, jnp.int32)
+    for _ in range(BLK.bit_length() - 1):          # 10 rounds for BLK 1024
+        mid = (lo + hi) >> 1
+        cm = jnp.take_along_axis(csum, mid, axis=1)
+        ge = cm >= target
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    idx = hi
+    live = target <= cnts[:, None]
+
+    def grab(plane):
+        return jnp.take_along_axis(plane.reshape(nb, BLK), idx, axis=1)
+
+    okmer = _join64(grab(khi) if k > 16 else jnp.zeros((nb, bo), jnp.uint32),
+                    grab(klo))
+    opos = grab(pos)
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, opos, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    n_emit = jnp.sum(emit).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
+
+
 def _compact_blocks_twolevel(kmers, pos, emit, *, k, C, bo, int8=True):
     """Two-level int8 one-hot compaction — the round-3 champion backend.
 
@@ -401,6 +444,8 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     if backend.startswith("twolevel") and twolevel_b1(bo) < B1:
         return _compact_blocks_twolevel(kmers, pos, emit, k=k, C=C, bo=bo,
                                         int8=int8)
+    if backend == "gather":
+        return _compact_blocks_gather(kmers, pos, emit, k=k, C=C, bo=bo)
     if backend == "butterfly":
         return _compact_blocks_butterfly(kmers, pos, emit, k=k, C=C, bo=bo)
     return _compact_blocks_onehot(kmers, pos, emit, k=k, C=C, bo=bo,
