@@ -30,7 +30,9 @@ from ..utils import profiling
 
 DEFAULT_CHUNK = 1 << 25  # 32 Mbase per device dispatch
 BLOCK = 4096             # positions per compaction block
-BLK_COMPACT = 1024       # parallel.sharded.BLK (mirrored here so host-only
+import os as _os
+BLK_COMPACT = int(_os.environ.get("MODIMIZER_BLK", "1024"))
+                         # parallel.sharded.BLK (mirrored here so host-only
                          # CLI paths never import jax just to size buffers)
 
 

@@ -22,6 +22,7 @@ bits); per-step device->host traffic is two scalars.
 """
 
 import functools
+import os
 
 import modimizer_tpu
 
@@ -113,7 +114,14 @@ def sort_u64_with_payload(keys, *payloads):
 # ------------------------------------------------------------------
 
 
-BLK = 1024  # positions per one-hot compaction block (n=1 path)
+# Positions per one-hot compaction block (n=1 path).  The one-hot cube is
+# C*bo operand bytes regardless of BLK, but bo itself is mean + 6 sigma of
+# Binomial(BLK, 1/w) — sublinear in BLK — so smaller blocks shrink the cube
+# (BLK=512 at w=16: bo 64 vs 112).  Below 512 the MXU's (32, 128) int8 tile
+# padding eats the savings.  Env-overridable for the chip ablation
+# (scripts/bench_compact.py); must be a power of two >= 128.
+BLK = int(os.environ.get("MODIMIZER_BLK", "1024"))
+assert BLK >= 128 and (BLK & (BLK - 1)) == 0, "MODIMIZER_BLK: pow2 >= 128"
 
 
 def _scan_front(sw, *, k, factor1, C):
@@ -281,6 +289,32 @@ def twolevel_b1(bo: int) -> int:
     return int(min(B1, max(32, -(-bo // 4 // 32) * 32)))
 
 
+def _block_csum(e2, nb):
+    """Inclusive in-block cumsum of the emit mask on the MXU (emit-row @
+    upper-triangular ones; counts <= BLK are exact in the f32 accumulator)."""
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+          ).astype(jnp.bfloat16)
+    return jax.lax.dot_general(e2.astype(jnp.bfloat16), ut,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.int32)           # [nb, BLK]
+
+
+def _grab_rows(klo, khi, pos, idx, live, *, k, nb, bo):
+    """Gather the u32 planes at per-slot in-block indices idx [nb, bo] and
+    sentinel the dead slots — the cube-free backends' common tail."""
+    def grab(plane):
+        return jnp.take_along_axis(plane.reshape(nb, BLK), idx, axis=1)
+
+    okmer = _join64(grab(khi) if k > 16 else jnp.zeros((nb, bo), jnp.uint32),
+                    grab(klo))
+    opos = grab(pos)
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, opos, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    return out_k, out_p
+
+
 def _compact_blocks_gather(kmers, pos, emit, *, k, C, bo):
     """Gather-based compaction: instead of materializing the C*bo one-hot
     cube (the step's dominant HBM traffic), find the j-th emit's in-block
@@ -290,13 +324,7 @@ def _compact_blocks_gather(kmers, pos, emit, *, k, C, bo):
     nb = C // BLK
     klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
     e2 = emit.reshape(nb, BLK)
-    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-          ).astype(jnp.bfloat16)
-    csum = jax.lax.dot_general(e2.astype(jnp.bfloat16), ut,
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32
-                               ).astype(jnp.int32)           # [nb, BLK]
+    csum = _block_csum(e2, nb)
     cnts = csum[:, -1]
     target = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) + 1
     # binary search: smallest p with csum[p] >= target (the j-th emit's
@@ -309,17 +337,30 @@ def _compact_blocks_gather(kmers, pos, emit, *, k, C, bo):
         ge = cm >= target
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid + 1)
-    idx = hi
     live = target <= cnts[:, None]
+    out_k, out_p = _grab_rows(klo, khi, pos, hi, live, k=k, nb=nb, bo=bo)
+    n_emit = jnp.sum(emit).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
-    def grab(plane):
-        return jnp.take_along_axis(plane.reshape(nb, BLK), idx, axis=1)
 
-    okmer = _join64(grab(khi) if k > 16 else jnp.zeros((nb, bo), jnp.uint32),
-                    grab(klo))
-    opos = grab(pos)
-    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
-    out_p = jnp.where(live, opos, jnp.uint32(0xFFFFFFFF)).reshape(-1)
+def _compact_blocks_searchcmp(kmers, pos, emit, *, k, C, bo):
+    """Cube-free compaction, rank by fused compare-reduce: the j-th emit's
+    in-block index is |{p : csum[p] < j+1}| — a broadcast compare over
+    [nb, bo, BLK] that XLA fuses into the reduction (the csum row is
+    VMEM-resident per block, so unlike the one-hot cube nothing this size
+    touches HBM).  Same take_along_axis tail as the gather backend;
+    bit-identical rows/slots/sentinels to the one-hot backends."""
+    nb = C // BLK
+    klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
+    e2 = emit.reshape(nb, BLK)
+    csum = _block_csum(e2, nb)
+    cnts = csum[:, -1]
+    target = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) + 1
+    idx = jnp.sum((csum[:, None, :] < target[:, :, None]).astype(jnp.int32),
+                  axis=2)
+    idx = jnp.minimum(idx, BLK - 1)   # dead slots (target > count) clamp
+    live = target <= cnts[:, None]
+    out_k, out_p = _grab_rows(klo, khi, pos, idx, live, k=k, nb=nb, bo=bo)
     n_emit = jnp.sum(emit).astype(jnp.int64)
     return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
@@ -446,6 +487,8 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
                                         int8=int8)
     if backend == "gather":
         return _compact_blocks_gather(kmers, pos, emit, k=k, C=C, bo=bo)
+    if backend == "searchcmp":
+        return _compact_blocks_searchcmp(kmers, pos, emit, k=k, C=C, bo=bo)
     if backend == "butterfly":
         return _compact_blocks_butterfly(kmers, pos, emit, k=k, C=C, bo=bo)
     return _compact_blocks_onehot(kmers, pos, emit, k=k, C=C, bo=bo,

@@ -6,6 +6,7 @@ backend returns bit-identical rows.  Drives the round-3 one-hot-cube
 byte-reduction work (docs/PERF.md).
 
 Usage: python scripts/bench_compact.py [C_log2] [backend ...]
+Block size sweeps ride MODIMIZER_BLK (bo is re-derived per BLK via scan_bo).
 """
 
 import sys
@@ -23,18 +24,20 @@ import jax.numpy as jnp
 
 from modimizer_tpu.core.seqhash import Seqhash
 from modimizer_tpu.ops.packed import pack_bits, pack_sw
-from modimizer_tpu.parallel.sharded import _scan_compact_local
+from modimizer_tpu.ops.seqhash import scan_bo
+from modimizer_tpu.parallel.sharded import BLK, _scan_compact_local
 
 K, W, SEED = 16, 16, 17
 C_LOG2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 BACKENDS = sys.argv[2:] or ["onehot", "onehot_i8", "twolevel_i8"]
-BO = 112
+BO = scan_bo(W)
 REPS = 16
 BATCHES = 3
 
 
 def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    print(f"BLK={BLK} bo={BO}", file=sys.stderr)
     sh = Seqhash.create(K, W, SEED)
     C = 1 << C_LOG2
     rng = np.random.default_rng(42)

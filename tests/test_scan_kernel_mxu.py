@@ -76,7 +76,7 @@ def test_compact_backends_bit_identical(k, w, bo):
     vb = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
     ref = None
     for be in ["onehot", "onehot_i8", "twolevel", "twolevel_i8",
-               "butterfly", "gather"]:
+               "butterfly", "gather", "searchcmp"]:
         out = tuple(np.asarray(x) for x in _scan_compact_local(
             sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend=be))
         if ref is None:
@@ -84,3 +84,44 @@ def test_compact_backends_bit_identical(k, w, bo):
         else:
             for a, b in zip(ref, out):
                 assert np.array_equal(a, b), be
+
+
+_BLK_PROBE = r"""
+import numpy as np
+import modimizer_tpu
+modimizer_tpu.configure_jax()
+import jax.numpy as jnp
+from modimizer_tpu.ops.packed import pack_bits, pack_sw
+from modimizer_tpu.ops.seqhash import scan_bo
+from modimizer_tpu.parallel.sharded import BLK, _scan_compact_local
+k, w = 16, 16
+f1 = 0x9E3779B97F4A7C15 | 1
+C = 1 << 15
+rng = np.random.default_rng(11)
+codes = rng.integers(0, 4, C + k - 1).astype(np.uint8)
+sw = jnp.asarray(pack_sw(codes, C // 32 + 2))
+vb = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
+ok, op, n, ovf = (np.asarray(x) for x in _scan_compact_local(
+    sw, vb, k=k, w=w, factor1=f1, C=C, bo=scan_bo(w)))
+assert not ovf, BLK
+live = ok != np.uint64(0xFFFFFFFFFFFFFFFF)
+rows = sorted(zip(op[live].tolist(), ok[live].tolist()))
+print(BLK, int(n), hash(tuple(map(tuple, rows))))
+"""
+
+
+def test_blk_env_row_set_invariant():
+    """MODIMIZER_BLK only re-blocks the compaction: the emitted (pos, kmer)
+    row set is identical for BLK 256/512/1024 (bo re-derived per BLK)."""
+    import os
+    import subprocess
+    import sys
+    outs = set()
+    for blk in ("256", "512", "1024"):
+        env = dict(os.environ, MODIMIZER_BLK=blk, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, "-c", _BLK_PROBE], env=env,
+                           capture_output=True, text=True, check=True)
+        blk_got, n, digest = r.stdout.split()
+        assert blk_got == blk
+        outs.add((n, digest))
+    assert len(outs) == 1, outs
