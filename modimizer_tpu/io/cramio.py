@@ -300,6 +300,28 @@ def rans_encode(data: bytes, order: int = 0) -> bytes:
 
 
 def rans_decode(comp: bytes, expect: int = None) -> bytes:
+    """rANS 4x8 decompress.  Dispatches to the native decoder (the whole
+    BA/QS byte volume of a real CRAM rides this path); the Python body
+    below is the bit-exact reference oracle (tests cross-check them)."""
+    rsize = struct.unpack_from("<I", comp, 5)[0]
+    if expect is not None and rsize != expect:
+        raise ValueError("rans stream size mismatch")
+    try:
+        from ..native import lib as _native_lib
+        L = _native_lib()
+    except Exception:   # pragma: no cover — no compiler: python fallback
+        L = None
+    if L is not None:
+        buf = np.frombuffer(bytes(comp), np.uint8)
+        out = np.empty(rsize, np.uint8)
+        rc = L.cram_rans_decode(buf, len(buf), out, rsize)
+        if rc < 0:
+            raise ValueError(f"corrupt rANS stream (native rc {rc})")
+        return out.tobytes()
+    return _rans_decode_py(comp, expect)
+
+
+def _rans_decode_py(comp: bytes, expect: int = None) -> bytes:
     order = comp[0]
     _csize, rsize = struct.unpack_from("<II", comp, 1)
     if expect is not None and rsize != expect:
@@ -678,7 +700,13 @@ class Codec:
         c = self.codec
         if c == E_BYTE_ARRAY_LEN:
             ln = self.len_codec.read_int(core)
-            return bytes(self.val_codec.read_byte(core) for _ in range(ln))
+            vc = self.val_codec
+            if vc.codec == E_EXTERNAL:   # bulk slice, not per-byte reads
+                st = vc.streams[vc.cid]
+                out = bytes(st[0][st[1]:st[1] + ln])
+                st[1] += ln
+                return out
+            return bytes(vc.read_byte(core) for _ in range(ln))
         if c == E_BYTE_ARRAY_STOP:
             st = self.streams[self.cid]
             buf, p0 = st[0], st[1]
@@ -913,13 +941,18 @@ class SliceDecoder:
                 quals = None
                 if cf & 1:
                     quals = self._bytes("QS", rl)
-                if self.embedded_ref is None:
-                    raise ValueError(
-                        f"{filename}: CRAM slice requires an external "
-                        f"reference (md5 {h['md5'].hex()}) — supply the "
-                        f"reference or re-encode with --output-fmt-option "
-                        f"embed_ref=1 / no_ref=1")
-                seq = self._build_seq(rl, ap, feats, sub, filename)
+                if cf & 8:
+                    # sequence-unknown flag: bases were not stored (SEQ '*');
+                    # decode as N's like the unmapped branch — never fabricate
+                    # reference bases for a record whose sequence is unknown
+                    seq = b"N" * rl
+                else:
+                    # reference bases are only required where a feature gap
+                    # actually copies from the reference — no_ref=1 encodes
+                    # (whole-read 'b'/BB base runs) decode without one, so
+                    # the missing-reference error is raised inside
+                    # _build_seq at the first real dereference
+                    seq = self._build_seq(rl, ap, feats, sub, filename)
             out.append((bf, seq, quals, name))
         return out
 
@@ -929,17 +962,34 @@ class SliceDecoder:
         seq = bytearray(rl)
         rpos = ap - rbase          # 0-based into embedded ref slice
         spos = 0                   # position in read
+
+        def need_ref():
+            if ref is None:
+                raise ValueError(
+                    f"{filename}: CRAM slice requires an external reference "
+                    f"(md5 {self.h['md5'].hex()}) — supply the reference or "
+                    f"re-encode with --output-fmt-option embed_ref=1 / "
+                    f"no_ref=1")
+
+        def copy_ref(n):
+            # slice copy (was a per-base Python loop — the decode hot path)
+            nonlocal spos, rpos
+            if n <= 0:
+                return
+            need_ref()
+            seq[spos:spos + n] = ref[rpos:rpos + n]
+            spos += n
+            rpos += n
+
         for fpos, fc, val in feats:
             # copy reference up to the feature position (1-based in read)
-            while spos < fpos - 1:
-                seq[spos] = ref[rpos]
-                spos += 1
-                rpos += 1
+            copy_ref(fpos - 1 - spos)
             if fc == "B":
                 seq[spos] = val[0]
                 spos += 1
                 rpos += 1
             elif fc == "X":
+                need_ref()
                 r = ref[rpos]
                 seq[spos] = sub[(r if r in b"ACGTN" else ord("N"), val)]
                 spos += 1
@@ -958,10 +1008,7 @@ class SliceDecoder:
                 pass
             else:
                 raise ValueError(f"unhandled feature {fc}")
-        while spos < rl:
-            seq[spos] = ref[rpos]
-            spos += 1
-            rpos += 1
+        copy_ref(rl - spos)
         return bytes(seq)
 
 
@@ -1061,9 +1108,10 @@ def parse_cram(data, convert, is_qual, want_ids, filename="<cram>"):
 # writer (test generator + seqconvert target): spec-valid CRAM 3.0
 # ------------------------------------------------------------------
 
-# external stream content ids used by the writer
+# external stream content ids used by the writer ("Bl" = BB length stream)
 _CID = {"BF": 1, "CF": 2, "RL": 3, "RN": 4, "BA": 5, "QS": 6, "MF": 7,
-        "AP": 8, "FN": 9, "FC": 10, "FP": 11, "BS": 12, "MQ": 13}
+        "AP": 8, "FN": 9, "FC": 10, "FP": 11, "BS": 12, "MQ": 13,
+        "Bl": 14, "BB": 15}
 
 
 def _huff_single(v):
@@ -1082,23 +1130,30 @@ def _map_bytes(entries):
 
 
 def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
-               per_container=10000):
+               per_container=10000, no_ref=False, seq_unknown=None):
     """Write CRAM 3.0.  Default: unmapped records (BA series, rANS blocks).
     With embed_ref + positions: mapped records against an EMBEDDED
     reference, emitting substitution (X/BS) features where read and ref
-    disagree — exercises the mapped decode path end to end."""
+    disagree — exercises the mapped decode path end to end.
+    With no_ref=True: mapped records with NO reference at all, each read's
+    bases stored as a whole-read 'b'/BB feature (the layout samtools
+    --output-fmt-option no_ref=1 produces).
+    seq_unknown: optional per-read bool list; marked reads set the CF
+    'sequence unknown' flag (0x8) and store no bases (SEQ '*')."""
     out = [b"CRAM\x03\x00" + b"modimizer_tpu.cram\x00\x00"]
     assert len(out[0]) == 26
+    mapped = embed_ref is not None
+    featmode = mapped or no_ref          # records take the mapped branch
     # SAM header container
     sam = b"@HD\tVN:1.6\tSO:unknown\n"
-    if embed_ref is not None:
-        sam += b"@SQ\tSN:ref\tLN:" + str(len(embed_ref)).encode() + b"\n"
+    if featmode:
+        ln = len(embed_ref) if mapped else max(map(len, seqs), default=1)
+        sam += b"@SQ\tSN:ref\tLN:" + str(ln).encode() + b"\n"
     hb = struct.pack("<i", len(sam)) + sam
     blk = write_block(RAW, CT_FILE_HEADER, 0, hb)
     out.append(write_container_header(len(blk), -1, 0, 0, 0, 0, 0, 1, [0])
                + blk)
     counter = 0
-    mapped = embed_ref is not None
     for s0 in range(0, len(seqs), per_container):
         batch = list(range(s0, min(s0 + per_container, len(seqs))))
         # ---- per-container streams ----
@@ -1111,13 +1166,11 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
             rl = len(seq)
             n_bases += rl
             qp = quals[i] if quals is not None else None
+            unk = bool(seq_unknown[i]) if seq_unknown is not None else False
             cf = 2 | (1 if qp is not None else 0)   # detached (+QS)
-            if mapped:
-                bf = 0
-                st["BF"] += itf8_put(0)
-            else:
-                bf = 4
-                st["BF"] += itf8_put(4)
+            if unk:
+                cf |= 8
+            st["BF"] += itf8_put(0 if featmode else 4)
             st["CF"] += itf8_put(cf)
             st["RL"] += itf8_put(rl)
             pos = (positions[i] + 1) if mapped else 0
@@ -1125,20 +1178,31 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
             st["RN"] += names[i].encode() + b"\t"
             st["MF"] += itf8_put(0)
             # NS/NP/TS ride zero-bit huffman; TL likewise (line 0: no tags)
-            if mapped:
-                p0 = positions[i]
-                ref = embed_ref[p0:p0 + rl]
-                mism = [j for j in range(rl) if seq[j:j + 1] != ref[j:j + 1]]
-                st["FN"] += itf8_put(len(mism))
-                prev = 0
-                for j in mism:
-                    st["FC"].append(ord("X"))
-                    st["FP"] += itf8_put(j + 1 - prev)
-                    prev = j + 1
-                    code = _sm_code(ref[j], seq[j])
-                    st["BS"].append(code)
+            if featmode:
+                if unk:
+                    st["FN"] += itf8_put(0)
+                elif no_ref:
+                    # whole read as one 'b' (BB) base run at read pos 1
+                    st["FN"] += itf8_put(1)
+                    st["FC"].append(ord("b"))
+                    st["FP"] += itf8_put(1)
+                    st["Bl"] += itf8_put(rl)
+                    st["BB"] += seq
+                else:
+                    p0 = positions[i]
+                    ref = embed_ref[p0:p0 + rl]
+                    mism = [j for j in range(rl)
+                            if seq[j:j + 1] != ref[j:j + 1]]
+                    st["FN"] += itf8_put(len(mism))
+                    prev = 0
+                    for j in mism:
+                        st["FC"].append(ord("X"))
+                        st["FP"] += itf8_put(j + 1 - prev)
+                        prev = j + 1
+                        code = _sm_code(ref[j], seq[j])
+                        st["BS"].append(code)
                 st["MQ"] += itf8_put(60)
-            else:
+            elif not unk:
                 st["BA"] += seq
             if qp is not None:
                 st["QS"] += bytes(qp)
@@ -1160,10 +1224,13 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
             b"TS" + _huff_single(0), b"TL" + _huff_single(0),
             b"BA" + _ext(_CID["BA"]), b"QS" + _ext(_CID["QS"]),
         ]
-        if mapped:
+        if featmode:
             ds += [b"FN" + _ext(_CID["FN"]), b"FC" + _ext(_CID["FC"]),
                    b"FP" + _ext(_CID["FP"]), b"BS" + _ext(_CID["BS"]),
-                   b"MQ" + _ext(_CID["MQ"])]
+                   b"MQ" + _ext(_CID["MQ"]),
+                   b"BB" + encode_encoding(
+                       E_BYTE_ARRAY_LEN,
+                       _ext(_CID["Bl"]) + _ext(_CID["BB"]))]
         comp_hdr = (pres + _map_bytes(sorted(ds)) + _map_bytes([]))
         # ---- slice ----
         eref_id = -1
@@ -1173,7 +1240,7 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
             sblocks.append(write_block(GZIP, CT_EXTERNAL, 100, embed_ref))
         sblocks.append(write_block(RAW, CT_CORE, 0, core.bytes()))
         methods = {"BA": (RANS, 1), "QS": (RANS, 1), "RN": (GZIP, 0),
-                   "FN": (BZIP2, 0), "FP": (LZMA, 0)}
+                   "FN": (BZIP2, 0), "FP": (LZMA, 0), "BB": (RANS, 1)}
         for k, cid in sorted(_CID.items(), key=lambda kv: kv[1]):
             if not st[k]:
                 continue
@@ -1184,7 +1251,7 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
         cids = [100] if mapped else []
         cids += [cid for k, cid in sorted(_CID.items(), key=lambda kv: kv[1])
                  if st[k]]
-        shdr = (itf8_put((0 if mapped else -1) & 0xFFFFFFFF)
+        shdr = (itf8_put((0 if featmode else -1) & 0xFFFFFFFF)
                 + itf8_put(1 if mapped else 0) + itf8_put(span)
                 + itf8_put(len(batch)) + ltf8_put(counter - len(batch))
                 + itf8_put(len(sblocks))
@@ -1197,7 +1264,7 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
         body = chdr_blk + slice_hblk + b"".join(sblocks)
         landmarks = [len(chdr_blk)]
         out.append(write_container_header(
-            len(body), 0 if mapped else -1, 1 if mapped else 0, span,
+            len(body), 0 if featmode else -1, 1 if mapped else 0, span,
             len(batch), counter - len(batch), n_bases,
             1 + 1 + len(sblocks), landmarks) + body)
     # EOF container (spec-valid empty container marked by start = "EOF")

@@ -14,7 +14,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
-_SOURCES = ["modset_native.cpp", "modasm_native.cpp"]
+_SOURCES = ["modset_native.cpp", "modasm_native.cpp", "cram_native.cpp"]
 
 
 def _build() -> Path:
@@ -164,6 +164,8 @@ def _declare(L):
     L.io_parse_fastq.restype = c.c_int64
     L.io_parse_fastq.argtypes = [u8p, c.c_int64, c.c_void_p, c.c_int, i8p,
                                  i64p, i64p, c.c_void_p]
+    L.cram_rans_decode.restype = c.c_int64
+    L.cram_rans_decode.argtypes = [u8p, c.c_int64, u8p, c.c_int64]
     L.mm_query_emit.restype = None
     L.mm_query_emit.argtypes = [i64p, u32p, i64p, u8p, u32p, u32p, u32p,
                                 u32p, c.c_int64, c.c_char_p, i64p,

@@ -34,6 +34,8 @@ import os as _os
 BLK_COMPACT = int(_os.environ.get("MODIMIZER_BLK", "1024"))
                          # parallel.sharded.BLK (mirrored here so host-only
                          # CLI paths never import jax just to size buffers)
+if BLK_COMPACT < 128 or (BLK_COMPACT & (BLK_COMPACT - 1)):
+    raise ValueError("MODIMIZER_BLK must be a power of two >= 128")
 
 
 def scan_bo(w: int) -> int:
@@ -131,22 +133,26 @@ class ModimizerScanner:
         self.want_isf = want_isf
         self.max_inflight = 4
         self.used_device = False   # set per scan_stream call
+        self.n_wide = 0            # chunks retried at 4x bo on device
+        self.n_fallback = 0        # chunks that hit the native host rescan
         self.host_threshold = (self.default_host_threshold()
                                if host_threshold is None else host_threshold)
 
-    def _dispatch(self, codes: np.ndarray, s: int, m: int):
+    def _dispatch(self, codes: np.ndarray, s: int, m: int,
+                  wide: bool = False):
         import jax.numpy as jnp
         from .device_scan import _scan_chunk
         from .packed import pack_sw
         k = self.sh.k
         C = self.chunk
         NW = C // 32
+        bo, cap = self._wide() if wide else (self.bo, self.cap)
         seg = codes[s:s + C + k - 1]
         sw = self._pack_native(seg, NW + 2)
         return _scan_chunk(
             jnp.asarray(sw), jnp.int32(m),
-            k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
-            cap=self.cap)
+            k=k, w=self.sh.w, factor1=self.sh.factor1, bo=bo,
+            cap=cap)
 
     @staticmethod
     def _pack_native(seg: np.ndarray, n_words: int) -> np.ndarray:
@@ -159,11 +165,23 @@ class ModimizerScanner:
                               len(seg), out, n_words)
         return out
 
-    def _dispatch_kmers(self, codes: np.ndarray, s: int, vwords: np.ndarray):
+    def _wide(self):
+        """bo/cap for the device-side overflow retry: 4x capacity handles
+        emit bursts (e.g. poly-A runs, which emit at EVERY position since
+        kmer 0 hashes to 0) up to ~4x the 6-sigma margin without abandoning
+        the chunk to the ~50x-slower host fallback.  Compiled lazily on the
+        first overflow only."""
+        bo = int(min(BLK_COMPACT, self.bo * 4))
+        cap = int(min((self.chunk // BLK_COMPACT) * bo, self.cap * 4))
+        return bo, cap
+
+    def _dispatch_kmers(self, codes: np.ndarray, s: int, vwords: np.ndarray,
+                        wide: bool = False):
         import jax.numpy as jnp
         from .device_scan import _scan_chunk_kmers
         k = self.sh.k
         C = self.chunk
+        bo, cap = self._wide() if wide else (self.bo, self.cap)
         with profiling.stage("scan.pack"):
             seg = codes[s:s + C + k - 1]
             sw = self._pack_native(seg, C // 32 + 2)
@@ -171,8 +189,8 @@ class ModimizerScanner:
             return _scan_chunk_kmers(
                 jnp.asarray(sw),
                 jnp.asarray(vwords[s // 64:s // 64 + C // 64]),
-                k=k, w=self.sh.w, factor1=self.sh.factor1, bo=self.bo,
-                cap=self.cap)
+                k=k, w=self.sh.w, factor1=self.sh.factor1, bo=bo,
+                cap=cap)
 
     def scan_kmers(self, codes: np.ndarray, offsets: np.ndarray,
                    consumer=None):
@@ -216,9 +234,15 @@ class ModimizerScanner:
             km, tot = fut
             with profiling.stage("scan.download"):
                 tot = int(tot)
-                if tot < 0:  # cap/block overflow: exact host rescan
-                    kms = self._rescan_kmers(s, min(C, n - s), codes,
-                                             offsets)
+                if tot < 0:  # cap/block overflow: retry wide on device
+                    self.n_wide += 1
+                    km, tot = self._dispatch_kmers(codes, s, vwords,
+                                                   wide=True)
+                    tot = int(tot)
+                if tot < 0:  # still overflowing: exact native host rescan
+                    self.n_fallback += 1
+                    kms = self._rescan_rows(s, min(C, n - s), codes,
+                                            offsets)[0]
                 else:
                     kms = np.asarray(km)[:tot]
                     if kms.dtype != np.uint64:
@@ -257,15 +281,21 @@ class ModimizerScanner:
                     else np.zeros(0, np.uint64))
         return total
 
-    def _rescan_kmers(self, s, m, codes, offsets):
-        sh = self.sh
-        seg = codes[s:s + m + sh.k - 1]
-        kms, hashes, isF = sh.scan(seg)
-        P = min(m, len(kms))
-        sel = (hashes[:P] % U64(sh.w)) == U64(0)
-        pos = np.nonzero(sel)[0].astype(np.int64) + s
-        ok, _ = _validity_filter(pos, offsets, sh.k)
-        return kms[:P][sel][ok]
+    def _rescan_rows(self, s, m, codes, offsets):
+        """Exact per-chunk overflow fallback on the native OpenMP kernel.
+
+        Read-boundary semantics match the device path's validity mask: a
+        kmer at global pos p < s+m is emitted iff it lies fully inside one
+        read.  Clipping offsets to the segment preserves that — clipped
+        read *starts* can only move to s (every kmer here starts at >= s
+        anyway) and clipped *ends* only cut kmers ending past s+m+k-2,
+        which no kmer with pos < s+m does.  Returns (kmers, gpos, isF)."""
+        k = self.sh.k
+        seg = np.ascontiguousarray(codes[s:s + m + k - 1])
+        lo = np.clip(offsets, s, s + len(seg)) - s
+        kms, pos, isF = self._scan_host(seg, lo)
+        keep = pos < m
+        return kms[keep], pos[keep] + s, isF[keep]
 
     def scan_stream(self, codes: np.ndarray, offsets: np.ndarray):
         """codes: uint8/int8 [N] (values 0..3), offsets: int64 [n_reads+1]."""
@@ -285,8 +315,16 @@ class ModimizerScanner:
         def drain(entry):
             s, m, (km, meta, total) = entry
             total = int(total)
-            if total < 0:  # block-bo overflow: rows dropped — exact fallback
-                self._rescan_chunk(s, m, codes, offsets, out_k, out_p, out_f)
+            if total < 0:  # block-bo overflow: retry wide on device
+                self.n_wide += 1
+                km, meta, total = self._dispatch(codes, s, m, wide=True)
+                total = int(total)
+            if total < 0:  # still overflowing: exact native host rescan
+                self.n_fallback += 1
+                kms, gpos, isF = self._rescan_rows(s, m, codes, offsets)
+                out_k.append(kms)
+                out_p.append(gpos)
+                out_f.append(isF)
                 return
             # rows arrive dense in exact stream order (position-major
             # compaction blocks + order-preserving densify); the argsort is
@@ -344,20 +382,6 @@ class ModimizerScanner:
                 break
             cap = -cnt
         return (out_k[:cnt], out_p[:cnt], out_f[:cnt].astype(bool))
-
-    def _rescan_chunk(self, s, m, codes, offsets, out_k, out_p, out_f):
-        """Rare overflow (cap exceeded, e.g. low-complexity repeats): redo
-        this chunk exactly on the host oracle."""
-        sh = self.sh
-        seg = codes[s:s + m + sh.k - 1]
-        kms, hashes, isF = sh.scan(seg)
-        P = min(m, len(kms))
-        sel = (hashes[:P] % U64(sh.w)) == U64(0)
-        pos = np.nonzero(sel)[0].astype(np.int64) + s
-        ok, _ = _validity_filter(pos, offsets, sh.k)
-        out_k.append(kms[:P][sel][ok])
-        out_p.append(pos[ok])
-        out_f.append(isF[:P][sel][ok])
 
     def scan_batch(self, batch):
         """Scan a SeqBatch; returns (kmers, read_ids, read_pos, isF)."""

@@ -121,7 +121,8 @@ def sort_u64_with_payload(keys, *payloads):
 # padding eats the savings.  Env-overridable for the chip ablation
 # (scripts/bench_compact.py); must be a power of two >= 128.
 BLK = int(os.environ.get("MODIMIZER_BLK", "1024"))
-assert BLK >= 128 and (BLK & (BLK - 1)) == 0, "MODIMIZER_BLK: pow2 >= 128"
+if BLK < 128 or (BLK & (BLK - 1)):
+    raise ValueError("MODIMIZER_BLK must be a power of two >= 128")
 
 
 def _scan_front(sw, *, k, factor1, C):
@@ -179,7 +180,6 @@ def compact_backend_default():
     13.1 / 14.5 two-level per 2^24 positions — docs/PERF.md round-3
     ablation); halving the one-hot cube's operand bytes wins, a second
     compaction level does not."""
-    import os
     return os.environ.get("MODIMIZER_COMPACT", "onehot_i8")
 
 
@@ -241,7 +241,6 @@ def _compact_blocks_onehot(kmers, pos, emit, *, k, C, bo, int8=False):
     nb = C // BLK
     klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
     limbs, n_khi = _limb_cols(klo, khi, pos, k, nb, BLK)
-    ncols = len(limbs)
     e2 = emit.reshape(nb, BLK)
     if int8:
         op_t, acc_t = jnp.int8, jnp.int32
@@ -481,8 +480,13 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
         # consumers (the sharded route, which sorts anyway) skip it.
         kmers, pos, emit = kmers.T, pos.T, emit.T
     backend = backend or compact_backend_default()
+    if backend not in ("onehot", "onehot_i8", "twolevel", "twolevel_i8",
+                       "gather", "searchcmp", "butterfly"):
+        raise ValueError(f"unknown compaction backend {backend!r} "
+                         "(MODIMIZER_COMPACT)")
     int8 = backend.endswith("_i8")
     if backend.startswith("twolevel") and twolevel_b1(bo) < B1:
+        # (when b1 == B1 the level-1 pass is a no-op; degenerate to onehot)
         return _compact_blocks_twolevel(kmers, pos, emit, k=k, C=C, bo=bo,
                                         int8=int8)
     if backend == "gather":

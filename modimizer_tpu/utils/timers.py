@@ -26,12 +26,21 @@ class Timer:
         if self._trace:
             import tracemalloc
             tracemalloc.start()
+        self._trace_hwm = 0
 
     def _allocated(self):
+        """Cumulative allocation counter for the memory column
+        (utils.c:59-75 semantics: a RUNNING TOTAL that only grows).
+        Default: the framework's own allocation-choke-point counters.
+        MODIMIZER_MEMORY=1 swaps in tracemalloc for full Python coverage;
+        its current-footprint gauge shrinks on frees, so track its
+        high-water mark to keep the column monotone like the reference's."""
         if not self._trace:
             return alloc.total()
         import tracemalloc
-        return tracemalloc.get_traced_memory()[0]
+        self._trace_hwm = max(self._trace_hwm,
+                              tracemalloc.get_traced_memory()[0])
+        return self._trace_hwm
 
     @staticmethod
     def _usage():
@@ -69,5 +78,5 @@ class Timer:
         f.write("user\t%d.%06d" % (us, uu))
         f.write("\tsystem\t%d.%06d" % (ss, su))
         f.write("\tmax_RSS\t%d" % (new.ru_maxrss - old.ru_maxrss))
-        f.write("\tmemory\t%d" % alloc)  # 0 unless MODIMIZER_MEMORY=1
+        f.write("\tmemory\t%d" % alloc)  # cumulative bytes (utils.c:195)
         f.write("\n")

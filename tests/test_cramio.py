@@ -25,13 +25,37 @@ def _reads(rng, n, lo=50, hi=400):
 
 
 def test_rans_roundtrip_fuzz():
+    """encode -> native decode == python-oracle decode == original."""
     rng = np.random.default_rng(1)
     for t in range(60):
         order = int(rng.integers(0, 2))
         n = int(rng.integers(0, 3000))
         na = int(rng.integers(1, 257))
         d = rng.integers(0, na, n).astype(np.uint8).tobytes()
-        assert cramio.rans_decode(cramio.rans_encode(d, order), n) == d
+        enc = cramio.rans_encode(d, order)
+        assert cramio.rans_decode(enc, n) == d
+        assert cramio._rans_decode_py(enc, n) == d
+
+
+def test_rans_native_corrupt_input():
+    """Truncated / corrupted streams never crash or overrun the native
+    decoder — they either raise ValueError or decode to (wrong) bytes of
+    the declared size, exactly like the Python oracle."""
+    rng = np.random.default_rng(2)
+    d = rng.integers(0, 8, 500).astype(np.uint8).tobytes()
+    for order in (0, 1):
+        enc = bytearray(cramio.rans_encode(d, order))
+        cases = [bytes(enc[:10]), bytes(enc[:len(enc) // 2]),
+                 bytes(enc[:-1])]
+        bad = bytearray(enc)
+        bad[11] ^= 0xFF   # corrupt the frequency table
+        cases.append(bytes(bad))
+        for c in cases:
+            try:
+                got = cramio.rans_decode(c, 500)
+                assert len(got) == 500
+            except (ValueError, IndexError):
+                pass
 
 
 def test_itf8_ltf8_edges():
@@ -130,6 +154,41 @@ def test_cram_modset_pipeline_matches_fasta(tmp_path):
             check=True, capture_output=True, env=env)
     assert (tmp_path / "fa.mod").read_bytes() == \
         (tmp_path / "cr.mod").read_bytes()
+
+
+def test_cram_no_ref_mode(tmp_path):
+    """samtools no_ref=1 layout: mapped records whose bases ride whole-read
+    'b'/BB features decode WITHOUT any reference (the missing-reference
+    error fires only on an actual reference dereference)."""
+    rng = np.random.default_rng(12)
+    names, seqs, quals = _reads(rng, 80)
+    cram = tmp_path / "nr.cram"
+    cramio.write_cram(str(cram), names, seqs, quals, no_ref=True)
+    b, _ = seqio.read_seq_file(str(cram), None, is_qual=True, want_ids=True)
+    assert [bytes(b.seq(i)) for i in range(b.n)] == list(seqs)
+    assert b.ids == names
+    for i in range(b.n):
+        assert bytes(b.qual(i).astype(np.uint8)) == quals[i]
+
+
+def test_cram_seq_unknown_flag(tmp_path):
+    """CF&0x8 (SEQ '*') records decode as N's in BOTH the unmapped and the
+    mapped branches — never fabricated reference bases."""
+    rng = np.random.default_rng(13)
+    names, seqs, quals = _reads(rng, 10, 50, 80)
+    unk = [i % 3 == 0 for i in range(10)]
+    ref = BASES[rng.integers(0, 4, 2000)].tobytes()
+    for kwargs, tag in (({}, "u"),
+                        ({"embed_ref": ref, "positions": [0] * 10}, "m")):
+        cram = tmp_path / f"unk_{tag}.cram"
+        cramio.write_cram(str(cram), names, seqs, quals,
+                          seq_unknown=unk, **kwargs)
+        b, _ = seqio.read_seq_file(str(cram), None, is_qual=True,
+                                   want_ids=True)
+        assert b.n == 10
+        for i in range(b.n):
+            want = (b"N" * len(seqs[i])) if unk[i] else seqs[i]
+            assert bytes(b.seq(i)) == want, (tag, i)
 
 
 def test_cram_external_ref_error(tmp_path):

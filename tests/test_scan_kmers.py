@@ -38,8 +38,9 @@ def test_scan_kmers_matches_host(k, w):
 
 
 def test_scan_kmers_overflow_rescan():
-    """A low-complexity (all-A) stream overflows the per-block row budget;
-    the chunk must fall back to the exact host rescan."""
+    """A low-complexity (all-A) stream overflows even the widened device
+    retry (every position emits); the chunk must fall back to the exact
+    native host rescan."""
     sh = Seqhash.create(16, 16, 17)
     codes = np.zeros(1 << 15, np.uint8)  # kmer 0 everywhere
     offsets = np.array([0, len(codes)], np.int64)
@@ -48,6 +49,33 @@ def test_scan_kmers_overflow_rescan():
     dev = ModimizerScanner(sh, chunk=1 << 14, host_threshold=0)
     got = dev.scan_kmers(codes, offsets)
     assert np.array_equal(got, want)
+    assert dev.n_fallback > 0
+
+
+def test_scan_kmers_overflow_wide_retry():
+    """A moderate poly-A burst (> bo, <= 4*bo emits in one block) is
+    absorbed by the widened device retry without touching the host
+    fallback (the round-3 posmajor layout makes blocks contiguous position
+    ranges, so a ~200 bp homopolymer run overflows a block's 6-sigma
+    budget — common in real genomes, must not cost a chunk rescan)."""
+    sh = Seqhash.create(16, 16, 17)
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, 1 << 15).astype(np.uint8)
+    codes[5000:5000 + 220] = 0  # poly-A run: ~220 emits in its block
+    offsets = np.array([0, len(codes)], np.int64)
+    host = ModimizerScanner(sh, host_threshold=1 << 62)
+    want = host.scan_kmers(codes, offsets)
+    dev = ModimizerScanner(sh, chunk=1 << 14, host_threshold=0)
+    got = dev.scan_kmers(codes, offsets)
+    assert np.array_equal(got, want)
+    assert dev.n_wide > 0 and dev.n_fallback == 0
+    # scan_stream takes the same retry tiers
+    dev2 = ModimizerScanner(sh, chunk=1 << 14, host_threshold=0)
+    kk, pp, ff = dev2.scan_stream(codes, offsets)
+    hk, hp, hf = host.scan_stream(codes, offsets)
+    assert np.array_equal(kk, hk) and np.array_equal(pp, hp)
+    assert np.array_equal(ff, hf)
+    assert dev2.n_wide > 0 and dev2.n_fallback == 0
 
 
 def test_scan_stream_rows_in_stream_order():
