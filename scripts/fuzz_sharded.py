@@ -55,12 +55,20 @@ def rand_stream(rng, overflow_bias):
     return codes, offsets
 
 
+BACKENDS = ["onehot", "onehot_i8", "twolevel", "twolevel_i8",
+            "butterfly", "gather", "searchcmp"]
+
+
 def trial_build(rng, trial):
     k = int(rng.integers(11, 32))
     w = int(rng.choice([2, 3, 5, 8, 10, 16, 31, 63, 64]))
     seed = int(rng.integers(1, 1000))
     sh = Seqhash.create(k, w, seed)
     n_dev = int(rng.choice([1, 2, 4, 8]))
+    # compact_backend_default() reads the env per call, so the backend can
+    # vary per trial (BLK is frozen at import — sweep it from the shell)
+    be = str(rng.choice(BACKENDS))
+    os.environ["MODIMIZER_COMPACT"] = be
     codes, offsets = rand_stream(rng, overflow_bias=rng.random() < 0.4)
     chunk = BLK * int(rng.integers(1, 5))
     state = int(rng.choice([1 << 8, 1 << 10, 1 << 14]))
@@ -79,7 +87,8 @@ def trial_build(rng, trial):
     assert np.array_equal(ds, np.minimum(wd, 0xFFFF)), \
         f"trial {trial}: depths diverge (n_dev={n_dev} k={k} w={w})"
     assert b.total_emitted == len(km)
-    return f"build n_dev={n_dev} k={k} w={w} n={len(codes)} uniq={len(ks)}"
+    return (f"build n_dev={n_dev} k={k} w={w} be={be} n={len(codes)} "
+            f"uniq={len(ks)}")
 
 
 def trial_merge(rng, trial):
