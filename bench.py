@@ -171,14 +171,61 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     return chip
 
 
+def host_rate(fa: Path) -> float:
+    """Fallback metric when the TPU never initializes (dev-tunnel outages
+    measured at >20 min this round): the framework's native OpenMP host
+    pipeline on the same data — real and honest, just not the chip."""
+    import numpy as np
+    from modimizer_tpu.core.modset import Modset
+    from modimizer_tpu.core.seqhash import Seqhash
+    from modimizer_tpu.io import seqio
+    from modimizer_tpu.ops.seqhash import ModimizerScanner
+    sh = Seqhash.create(K, W, SEED)
+    batch, _t = seqio.read_seq_file(str(fa), seqio.dna2index_n0(),
+                                    is_qual=False, want_ids=False)
+    t0 = time.perf_counter()
+    sc = ModimizerScanner(sh, host_threshold=1 << 62)
+    ms = Modset(sh, BITS)
+    sc.scan_kmers(batch.codes, batch.offsets, consumer=ms.add_batch)
+    dt = time.perf_counter() - t0
+    positions = len(batch.codes) - (K - 1) * batch.n
+    log(f"host fallback: {positions/dt/1e6:.1f} Mkmers/s (scan+table)")
+    return positions / dt
+
+
 def main():
     fa = make_data()
     base, c_entries = c_baseline(fa)
-    ours = tpu_rate(fa, c_entries)
+    if "--tpu-child" in sys.argv:
+        ours = tpu_rate(fa, c_entries)
+        print(json.dumps({"metric": "modset_build_kmer_throughput",
+                          "value": round(ours, 1),
+                          "unit": "kmers/s",
+                          "vs_baseline": round(ours / base, 2)}))
+        return
+    # Run the TPU measurement in a subprocess under a watchdog: a hung
+    # dev-tunnel (jax TPU init blocked indefinitely — observed this round)
+    # must not leave the round with no benchmark artifact at all.
+    import subprocess
+    budget = int(os.environ.get("MODIMIZER_BENCH_TIMEOUT", "3000"))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+            timeout=budget, capture_output=True, text=True)
+        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        sys.stderr.write(r.stderr)
+        if r.returncode == 0 and line:
+            print(line[-1])
+            return
+        log(f"tpu child failed (rc {r.returncode}); host fallback")
+    except subprocess.TimeoutExpired:
+        log(f"tpu child exceeded {budget}s (tunnel hang?); host fallback")
+    ours = host_rate(fa)
     print(json.dumps({"metric": "modset_build_kmer_throughput",
                       "value": round(ours, 1),
                       "unit": "kmers/s",
-                      "vs_baseline": round(ours / base, 2)}))
+                      "vs_baseline": round(ours / base, 2),
+                      "backend": "host_openmp_fallback_no_tpu"}))
 
 
 if __name__ == "__main__":
