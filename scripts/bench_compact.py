@@ -23,9 +23,10 @@ import jax
 import jax.numpy as jnp
 
 from modimizer_tpu.core.seqhash import Seqhash
-from modimizer_tpu.ops.packed import pack_bits, pack_sw
+from modimizer_tpu.ops.packed import mod_is_zero, pack_bits, pack_sw
 from modimizer_tpu.ops.seqhash import scan_bo
-from modimizer_tpu.parallel.sharded import BLK, _scan_compact_local
+from modimizer_tpu.parallel.sharded import (BLK, _expand_valid, _scan_front,
+                                            _scan_compact_local)
 
 K, W, SEED = 16, 16, 17
 C_LOG2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
@@ -45,26 +46,51 @@ def main():
     sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
     vb_d = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
 
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def front_only(swx, vb):
+        """The scan front alone (funnel + both-strand hash + emit mask) —
+        the step's floor; the gap to a full backend is the compaction
+        cost.  Reduced to scalars so nothing big leaves the device."""
+        hashes, kmers, pos, isF = _scan_front(swx, k=K, factor1=sh.factor1,
+                                              C=C)
+        emit = _expand_valid(vb, C) & mod_is_zero(hashes, W)
+        n = jnp.sum(emit).astype(jnp.int64)
+        chk = jnp.sum(jnp.where(emit, kmers, jnp.uint64(0)))
+        return n + chk.astype(jnp.int64)
+
     ref = None
     for be in BACKENDS:
-        def step(dep, be=be):
-            swx = sw_d.at[0].set(
-                sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
-            return _scan_compact_local(swx, vb_d, k=K, w=W,
-                                       factor1=sh.factor1, C=C, bo=BO,
-                                       backend=be)
+        if be == "front":
+            def step(dep, be=be):
+                swx = sw_d.at[0].set(
+                    sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+                s = front_only(swx, vb_d)
+                return None, None, s, None
+        else:
+            def step(dep, be=be):
+                swx = sw_d.at[0].set(
+                    sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+                return _scan_compact_local(swx, vb_d, k=K, w=W,
+                                           factor1=sh.factor1, C=C, bo=BO,
+                                           backend=be)
 
         t0 = time.perf_counter()
         out = step(jnp.int64(0))
         n = int(np.asarray(out[2]))
         t_compile = time.perf_counter() - t0
-        host = tuple(np.asarray(x) for x in out[:2])
-        if ref is None:
-            ref = host
-            match = "ref"
+        if be == "front":
+            match = "n/a"
         else:
-            match = ("MATCH" if all(np.array_equal(a, b)
-                                    for a, b in zip(ref, host)) else "DIFF!")
+            host = tuple(np.asarray(x) for x in out[:2])
+            if ref is None:
+                ref = host
+                match = "ref"
+            else:
+                match = ("MATCH" if all(np.array_equal(a, b)
+                                        for a, b in zip(ref, host))
+                         else "DIFF!")
         best = None
         for _ in range(BATCHES):
             dep = jnp.int64(0)
