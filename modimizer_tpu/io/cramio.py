@@ -6,9 +6,15 @@ default samtools codec set: raw/gzip/bzip2/lzma/rANS-4x8 block compression,
 EXTERNAL / HUFFMAN / BETA / GAMMA / BYTE_ARRAY_LEN / BYTE_ARRAY_STOP record
 encodings, unmapped records (BA series) and mapped records reconstructed
 against an EMBEDDED reference (substitutions via the SM matrix, insertions,
-deletions, clips).  CRAM files that require an external reference sequence
-die with an explicit message (htslib would need REF_PATH there too; the
-modimizer tools never supply one).
+deletions, clips).  CRAM files that require an external reference resolve
+it the way htslib does (cram/cram_io.c cram_populate_ref): the SAM header's
+@SQ M5 tag expanded through the REF_CACHE / REF_PATH templates first, then
+the @SQ UR tag as a local file (file:// or plain path, relative to the CRAM
+file's directory); loaded references are whitespace-stripped + uppercased
+(the REF_CACHE normal form) and verified against the @SQ M5 and the slice
+header's reference-span MD5.  When nothing resolves, the decode dies with
+an explicit message listing what was tried (no egress here, so htslib's
+final EBI-server fallback is not replicated).
 
 No htslib/samtools/pysam exists in this environment to produce golden
 files, so the writer below doubles as the test generator: it emits
@@ -819,8 +825,10 @@ _SERIES_INT = ("BF CF RI RL AP RG MF NS NP TS NF TL FN FP DL PD HC RS MQ"
 class SliceDecoder:
     """Decodes one slice's records (spec sec 10)."""
 
-    def __init__(self, pres, dsm, tagenc, blocks, sheader, sam_flags=None):
+    def __init__(self, pres, dsm, tagenc, blocks, sheader, sam_flags=None,
+                 resolver=None):
         self.pres = pres
+        self.resolver = resolver
         core = None
         streams = {}
         self.embedded_ref = None
@@ -952,19 +960,47 @@ class SliceDecoder:
                     # (whole-read 'b'/BB base runs) decode without one, so
                     # the missing-reference error is raised inside
                     # _build_seq at the first real dereference
-                    seq = self._build_seq(rl, ap, feats, sub, filename)
+                    seq = self._build_seq(rl, ap, feats, sub, filename,
+                                          ref_id)
             out.append((bf, seq, quals, name))
         return out
 
-    def _build_seq(self, rl, ap, feats, sub, filename):
-        ref = self.embedded_ref
-        rbase = self.h["start"]
+    def _external_ref(self, ref_id, filename):
+        """Resolve + verify the slice's external reference lazily (only a
+        record that actually dereferences the reference pays for it)."""
+        ref = self.resolver.get(ref_id, filename)
+        md5 = self.h["md5"]
+        # slice header carries the MD5 of the reference span it covers
+        # (spec sec 8.5); all-zero means the writer skipped it
+        if any(md5) and self.h["ref_id"] == ref_id:
+            import hashlib
+            span = ref[self.h["start"] - 1:
+                       self.h["start"] - 1 + self.h["span"]]
+            if hashlib.md5(span).digest() != md5:
+                raise ValueError(
+                    f"{filename}: reference span fails the slice MD5 check "
+                    f"(start {self.h['start']} span {self.h['span']}): "
+                    f"expected {md5.hex()}, got "
+                    f"{hashlib.md5(span).hexdigest()} — wrong reference?")
+        return ref
+
+    def _build_seq(self, rl, ap, feats, sub, filename, ref_id=-1):
+        if self.embedded_ref is not None:
+            ref = self.embedded_ref
+            rbase = self.h["start"]    # embedded block covers [start, span)
+        else:
+            ref = None                 # external: fetched on first deref
+            rbase = 1                  # full sequence, AP is 1-based
         seq = bytearray(rl)
-        rpos = ap - rbase          # 0-based into embedded ref slice
+        rpos = ap - rbase
         spos = 0                   # position in read
 
         def need_ref():
+            nonlocal ref
             if ref is None:
+                if self.resolver is not None and ref_id >= 0:
+                    ref = self._external_ref(ref_id, filename)
+                    return
                 raise ValueError(
                     f"{filename}: CRAM slice requires an external reference "
                     f"(md5 {self.h['md5'].hex()}) — supply the reference or "
@@ -1019,6 +1055,142 @@ class SliceDecoder:
 EOF_START = 4542278  # spec: the EOF container's alignment start ("EOF")
 
 
+def parse_sq_lines(sam_text):
+    """@SQ entries (SN/LN/M5/UR) from SAM header text, in file order — the
+    order defines CRAM's ref_id numbering (spec sec 8.5)."""
+    sq = []
+    for line in sam_text.split("\n"):
+        if not line.startswith("@SQ"):
+            continue
+        ent = {}
+        for field in line.rstrip("\r").split("\t")[1:]:
+            if len(field) >= 3 and field[2] == ":":
+                ent[field[:2]] = field[3:]
+        sq.append(ent)
+    return sq
+
+
+def _m5_expand(template, m5):
+    """htslib's %Ns/%s template expansion (cram_io.c expand_cache_path):
+    %Ns consumes the next N hex chars, %s the remainder; an entry with no
+    %-token gets '/%s' appended."""
+    if "%" not in template:
+        template = template.rstrip("/") + "/%s"
+    out, rest, i = [], m5, 0
+    while i < len(template):
+        c = template[i]
+        if c == "%" and i + 1 < len(template):
+            j = i + 1
+            while j < len(template) and template[j].isdigit():
+                j += 1
+            if j < len(template) and template[j] == "s":
+                n = int(template[i + 1:j]) if j > i + 1 else None
+                if n is None:
+                    out.append(rest)
+                    rest = ""
+                else:
+                    out.append(rest[:n])
+                    rest = rest[n:]
+                i = j + 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _load_ref_file(path, name=None):
+    """Load one reference sequence from a file: FASTA (selected by name when
+    given, else the first/only record) or a raw REF_CACHE-format file.
+    Returns whitespace-stripped uppercased bytes, or None."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except OSError:
+        return None
+    if data[:1] == b">":
+        want = name.encode() if name is not None else None
+        seq, found = [], False
+        for line in data.split(b"\n"):
+            if line[:1] == b">":
+                if found:
+                    break
+                hdr = line[1:].split()
+                found = want is None or (hdr and hdr[0] == want)
+            elif found:
+                seq.append(line.strip())
+        if not found:
+            return None
+        return b"".join(seq).upper()
+    return b"".join(data.split()).upper()
+
+
+class RefResolver:
+    """Resolves a CRAM ref_id to its reference sequence like htslib's
+    cram_populate_ref (cram/cram_io.c): REF_CACHE then each REF_PATH entry
+    expanded with the @SQ M5 digest, then the @SQ UR tag as a local file.
+    Loaded sequences are MD5-verified against M5 when present."""
+
+    def __init__(self, sq, base_dir=""):
+        self.sq = sq
+        self.base_dir = base_dir
+        self._cache = {}
+
+    def get(self, ref_id, filename="<cram>"):
+        if ref_id in self._cache:
+            return self._cache[ref_id]
+        import hashlib
+        import os
+        if not 0 <= ref_id < len(self.sq):
+            raise ValueError(
+                f"{filename}: CRAM record references sequence {ref_id} but "
+                f"the SAM header has {len(self.sq)} @SQ lines")
+        ent = self.sq[ref_id]
+        m5 = ent.get("M5", "").lower()
+        tried = []
+        ref = None
+        if m5:
+            templates = []
+            if os.environ.get("REF_CACHE"):
+                templates.append(os.environ["REF_CACHE"])
+            for part in os.environ.get("REF_PATH", "").split(":"):
+                # ':' also appears in URL schemes; no egress here, so only
+                # local templates are meaningful — skip scheme fragments
+                if part and "//" not in part:
+                    templates.append(part)
+            for t in templates:
+                path = _m5_expand(t, m5)
+                tried.append(path)
+                ref = _load_ref_file(path)
+                if ref is not None:
+                    break
+        if ref is None and ent.get("UR"):
+            ur = ent["UR"]
+            if ur.startswith("file://"):
+                ur = ur[7:]
+            if "://" not in ur:
+                import os.path
+                if not os.path.isabs(ur) and self.base_dir:
+                    ur = os.path.join(self.base_dir, ur)
+                tried.append(ur)
+                ref = _load_ref_file(ur, name=ent.get("SN"))
+        if ref is None:
+            raise ValueError(
+                f"{filename}: cannot resolve the external reference for "
+                f"@SQ SN:{ent.get('SN', '?')}"
+                + (f" M5:{m5}" if m5 else "")
+                + (" — tried " + ", ".join(tried) if tried
+                   else " — no M5/UR tags and REF_PATH/REF_CACHE unset")
+                + "; supply REF_PATH/REF_CACHE or a local UR, or re-encode "
+                  "with embed_ref=1 / no_ref=1")
+        if m5 and hashlib.md5(ref).hexdigest() != m5:
+            raise ValueError(
+                f"{filename}: reference for @SQ SN:{ent.get('SN', '?')} "
+                f"(from {tried[-1]}) fails its M5 check: expected {m5}, "
+                f"got {hashlib.md5(ref).hexdigest()}")
+        self._cache[ref_id] = ref
+        return ref
+
+
 def is_cram(data) -> bool:
     return bytes(data[:4]) == b"CRAM"
 
@@ -1038,12 +1210,26 @@ def parse_cram(data, convert, is_qual, want_ids, filename="<cram>"):
     n = len(data)
     first = True
     recs = []
+    resolver = None
     while p < n:
         h, p = read_container_header(data, p)
         end = p + h["length"]
         if first:
             first = False
-            p = end   # SAM header container
+            # SAM header container: int32 text length + header text (spec
+            # sec 8.2) — its @SQ order defines ref_id; M5/UR drive external
+            # reference resolution for slices with no embedded reference
+            try:
+                b, _ = read_block(data, p)
+                tlen = struct.unpack("<i", bytes(b.data[:4]))[0]
+                text = bytes(b.data[4:4 + tlen]).decode("latin-1")
+                import os.path
+                base = os.path.dirname(filename) \
+                    if filename not in ("<cram>", "") else ""
+                resolver = RefResolver(parse_sq_lines(text), base)
+            except Exception:
+                resolver = None    # malformed header: error only if needed
+            p = end
             continue
         if h["n_records"] == 0 and (h["start"] == EOF_START
                                     or h["n_blocks"] <= 1):
@@ -1060,7 +1246,8 @@ def parse_cram(data, convert, is_qual, want_ids, filename="<cram>"):
             sh = parse_slice_header(blocks[i].data)
             sblocks = blocks[i + 1:i + 1 + sh["n_blocks"]]
             i += 1 + sh["n_blocks"]
-            dec = SliceDecoder(pres, dsm, tagenc, sblocks, sh)
+            dec = SliceDecoder(pres, dsm, tagenc, sblocks, sh,
+                               resolver=resolver)
             recs.extend(dec.decode_records(filename))
     # finish: alignment orientation -> read orientation (flag 0x10),
     # charset conversion, qual assembly — the BAM/SAM record semantics
@@ -1130,11 +1317,17 @@ def _map_bytes(entries):
 
 
 def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
-               per_container=10000, no_ref=False, seq_unknown=None):
+               per_container=10000, no_ref=False, seq_unknown=None,
+               ref_external=False, ref_ur=None):
     """Write CRAM 3.0.  Default: unmapped records (BA series, rANS blocks).
     With embed_ref + positions: mapped records against an EMBEDDED
     reference, emitting substitution (X/BS) features where read and ref
     disagree — exercises the mapped decode path end to end.
+    With additionally ref_external=True: the reference is NOT embedded (the
+    default samtools CRAM layout); the @SQ line carries its M5 digest and,
+    when ref_ur is given, a UR path — the reader must resolve it through
+    RefResolver (REF_CACHE/REF_PATH/UR), and the slice header carries the
+    real reference-span MD5 so the resolution is verified.
     With no_ref=True: mapped records with NO reference at all, each read's
     bases stored as a whole-read 'b'/BB feature (the layout samtools
     --output-fmt-option no_ref=1 produces).
@@ -1148,7 +1341,13 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
     sam = b"@HD\tVN:1.6\tSO:unknown\n"
     if featmode:
         ln = len(embed_ref) if mapped else max(map(len, seqs), default=1)
-        sam += b"@SQ\tSN:ref\tLN:" + str(ln).encode() + b"\n"
+        sam += b"@SQ\tSN:ref\tLN:" + str(ln).encode()
+        if mapped and ref_external:
+            import hashlib
+            sam += b"\tM5:" + hashlib.md5(embed_ref).hexdigest().encode()
+            if ref_ur is not None:
+                sam += b"\tUR:" + str(ref_ur).encode()
+        sam += b"\n"
     hb = struct.pack("<i", len(sam)) + sam
     blk = write_block(RAW, CT_FILE_HEADER, 0, hb)
     out.append(write_container_header(len(blk), -1, 0, 0, 0, 0, 0, 1, [0])
@@ -1235,7 +1434,7 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
         # ---- slice ----
         eref_id = -1
         sblocks = []
-        if mapped:
+        if mapped and not ref_external:
             eref_id = 100
             sblocks.append(write_block(GZIP, CT_EXTERNAL, 100, embed_ref))
         sblocks.append(write_block(RAW, CT_CORE, 0, core.bytes()))
@@ -1248,9 +1447,16 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
             sblocks.append(write_block(m, CT_EXTERNAL, cid, bytes(st[k]), o))
         span = len(embed_ref) if mapped else 0
         # content ids of the slice's external blocks
-        cids = [100] if mapped else []
+        cids = [100] if mapped and not ref_external else []
         cids += [cid for k, cid in sorted(_CID.items(), key=lambda kv: kv[1])
                  if st[k]]
+        if mapped and ref_external:
+            # reference-span MD5 (start=1, span=len(ref)) so the reader's
+            # external resolution is end-to-end verified
+            import hashlib
+            slice_md5 = hashlib.md5(embed_ref).digest()
+        else:
+            slice_md5 = b"\x00" * 16
         shdr = (itf8_put((0 if featmode else -1) & 0xFFFFFFFF)
                 + itf8_put(1 if mapped else 0) + itf8_put(span)
                 + itf8_put(len(batch)) + ltf8_put(counter - len(batch))
@@ -1258,7 +1464,7 @@ def write_cram(path, names, seqs, quals=None, embed_ref=None, positions=None,
                 + itf8_put(len(cids))
                 + b"".join(itf8_put(c) for c in cids)
                 + itf8_put(eref_id & 0xFFFFFFFF)
-                + b"\x00" * 16)
+                + slice_md5)
         slice_hblk = write_block(RAW, CT_MAPPED_SLICE, 0, shdr)
         chdr_blk = write_block(GZIP, CT_COMPRESSION_HEADER, 0, comp_hdr)
         body = chdr_blk + slice_hblk + b"".join(sblocks)

@@ -221,3 +221,126 @@ def test_cram_external_ref_error(tmp_path):
     dec = cramio.SliceDecoder(pres, dsm, tagenc, sblocks, sh)
     with pytest.raises(ValueError, match="external\\s+reference"):
         dec.decode_records("e.cram")
+
+
+def _mapped_reads(rng, ref, n=40):
+    """Reads copied from ref with sprinkled substitutions (X/BS features)."""
+    names, seqs, quals, pos = [], [], [], []
+    for i in range(n):
+        p = int(rng.integers(0, len(ref) - 500))
+        ln = int(rng.integers(60, 400))
+        s = bytearray(ref[p:p + ln])
+        for _ in range(int(rng.integers(0, 6))):
+            j = int(rng.integers(0, len(s)))
+            s[j] = BASES[(BASES.tolist().index(s[j])
+                          + int(rng.integers(1, 4))) % 4]
+        names.append(f"m{i}")
+        seqs.append(bytes(s))
+        quals.append(rng.integers(0, 45, len(s)).astype(np.uint8).tobytes())
+        pos.append(p)
+    return names, seqs, quals, pos
+
+
+def test_cram_external_ref_ur(tmp_path, monkeypatch):
+    """The default samtools CRAM layout (reference NOT embedded) resolves
+    through the @SQ UR tag: a relative path against the CRAM's directory,
+    a multi-record soft-masked FASTA selected by SN, slice-MD5-verified."""
+    monkeypatch.delenv("REF_PATH", raising=False)
+    monkeypatch.delenv("REF_CACHE", raising=False)
+    rng = np.random.default_rng(21)
+    ref = BASES[rng.integers(0, 4, 6000)].tobytes()
+    names, seqs, quals, pos = _mapped_reads(rng, ref)
+    # decoy first + soft-masked (lowercase) wrapped lines: the loader must
+    # select by SN and uppercase to the REF_CACHE normal form
+    fa = tmp_path / "genome.fa"
+    with open(fa, "wb") as f:
+        f.write(b">decoy desc\n" + b"GGGG\n")
+        f.write(b">ref some description\n")
+        for i in range(0, len(ref), 60):
+            line = bytearray(ref[i:i + 60])
+            if (i // 60) % 3 == 0:
+                line = line.lower()
+            f.write(bytes(line) + b"\n")
+    cram = tmp_path / "ext.cram"
+    cramio.write_cram(str(cram), names, seqs, quals, embed_ref=ref,
+                      positions=pos, ref_external=True, ref_ur="genome.fa")
+    b, _ = seqio.read_seq_file(str(cram), None, is_qual=True, want_ids=True)
+    assert [bytes(b.seq(i)) for i in range(b.n)] == seqs
+    for i in range(b.n):
+        assert bytes(b.qual(i).astype(np.uint8)) == quals[i]
+
+
+def test_cram_external_ref_refpath(tmp_path, monkeypatch):
+    """M5 resolution through REF_PATH templates: a missing first entry,
+    then htslib's nested %2s/%2s/%s cache layout holding the raw
+    (REF_CACHE-format) sequence."""
+    import hashlib
+    rng = np.random.default_rng(22)
+    ref = BASES[rng.integers(0, 4, 4000)].tobytes()
+    names, seqs, quals, pos = _mapped_reads(rng, ref, n=20)
+    m5 = hashlib.md5(ref).hexdigest()
+    cache = tmp_path / "cache"
+    sub = cache / m5[:2] / m5[2:4]
+    sub.mkdir(parents=True)
+    (sub / m5[4:]).write_bytes(ref)
+    monkeypatch.setenv(
+        "REF_PATH",
+        f"{tmp_path}/nowhere/%s:{cache}/%2s/%2s/%s")
+    monkeypatch.delenv("REF_CACHE", raising=False)
+    cram = tmp_path / "m5.cram"
+    cramio.write_cram(str(cram), names, seqs, quals, embed_ref=ref,
+                      positions=pos, ref_external=True)   # no UR: M5 only
+    b, _ = seqio.read_seq_file(str(cram), None, is_qual=True, want_ids=True)
+    assert [bytes(b.seq(i)) for i in range(b.n)] == seqs
+
+
+def test_cram_external_ref_m5_mismatch(tmp_path, monkeypatch):
+    """A resolved file whose content fails the @SQ M5 digest dies with the
+    M5-check error, never decodes against the wrong reference."""
+    import hashlib
+    rng = np.random.default_rng(23)
+    ref = BASES[rng.integers(0, 4, 2000)].tobytes()
+    names, seqs, quals, pos = _mapped_reads(rng, ref, n=5)
+    m5 = hashlib.md5(ref).hexdigest()
+    (tmp_path / m5).write_bytes(ref[::-1])   # wrong content at the M5 path
+    monkeypatch.setenv("REF_PATH", f"{tmp_path}/%s")
+    monkeypatch.delenv("REF_CACHE", raising=False)
+    cram = tmp_path / "bad.cram"
+    cramio.write_cram(str(cram), names, seqs, quals, embed_ref=ref,
+                      positions=pos, ref_external=True)
+    with pytest.raises(ValueError, match="M5 check"):
+        seqio.read_seq_file(str(cram), None, is_qual=True, want_ids=True)
+
+
+def test_cram_external_ref_unresolvable(tmp_path, monkeypatch):
+    """No UR, no REF_PATH/REF_CACHE: a clear resolution error naming the
+    @SQ entry, not a misparse."""
+    monkeypatch.delenv("REF_PATH", raising=False)
+    monkeypatch.delenv("REF_CACHE", raising=False)
+    rng = np.random.default_rng(24)
+    ref = BASES[rng.integers(0, 4, 1500)].tobytes()
+    names, seqs, quals, pos = _mapped_reads(rng, ref, n=3)
+    cram = tmp_path / "nores.cram"
+    cramio.write_cram(str(cram), names, seqs, quals, embed_ref=ref,
+                      positions=pos, ref_external=True)
+    with pytest.raises(ValueError, match="cannot resolve"):
+        seqio.read_seq_file(str(cram), None, is_qual=True, want_ids=True)
+
+
+def test_m5_template_expansion():
+    """htslib's %Ns/%s expansion (cram_io.c expand_cache_path)."""
+    f = cramio._m5_expand
+    assert f("/c/%s", "abcdef") == "/c/abcdef"
+    assert f("/c/%2s/%2s/%s", "abcdef") == "/c/ab/cd/ef"
+    assert f("/c", "abcdef") == "/c/abcdef"          # no token: append /%s
+    assert f("/c/", "abcdef") == "/c/abcdef"
+    assert f("/c/%1s/x_%s", "abcd") == "/c/a/x_bcd"
+
+
+def test_parse_sq_lines():
+    sq = cramio.parse_sq_lines(
+        "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:10\tM5:aa\tUR:file:///r.fa\n"
+        "@SQ\tSN:chr2\tLN:20\n@PG\tID:x\n")
+    assert sq == [{"SN": "chr1", "LN": "10", "M5": "aa",
+                   "UR": "file:///r.fa"},
+                  {"SN": "chr2", "LN": "20"}]
