@@ -887,6 +887,73 @@ class ShardedModsetBuilder:
             self._check_pending()
         self._check_pending(force=True)
 
+    # ---------- device-state snapshotting (SURVEY §5) ----------
+    # The reference checkpoints by persisting finished structures (-w stem /
+    # -r stem, modutils.c:103-106); a long sharded/multi-host build also
+    # needs its IN-PROGRESS device table snapshotted so a preempted run
+    # resumes mid-stream instead of restarting.  The snapshot is the
+    # compacted state triple + the builder's exactness-relevant scalars.
+
+    SNAP_VERSION = 1
+
+    def save(self, path, cursor: int = 0):
+        """Snapshot the in-progress build to `path` (.npz).  Flushes pending
+        chunks and compacts first, so the snapshot is exactly the state a
+        fresh builder reaches after consuming the same stream prefix.
+        `cursor` is an opaque caller value (e.g. codes consumed) returned
+        by `restore` so the caller can reposition its stream.  On a
+        multi-host mesh every process must call this (the state gather is
+        collective); only process 0 writes."""
+        self._compact()
+        ks = self._fetch(self.state_k)
+        ds = self._fetch(self.state_d)
+        ms = self._fetch(self.state_m)
+        if jax.process_index() == 0:
+            meta = np.array([self.SNAP_VERSION, self.sh.k, self.sh.w,
+                             self.sh.seed, self.n, self.S, self.bo,
+                             self.cap, self.chunk, self.total_emitted,
+                             int(cursor)], np.int64)
+            with open(path, "wb") as f:
+                np.savez(f, meta=meta, state_k=ks, state_d=ds, state_m=ms)
+
+    @classmethod
+    def restore(cls, path, sh, mesh: Mesh, **kwargs):
+        """Rebuild a builder from a `save` snapshot; returns (builder,
+        cursor).  Seqhash params and mesh size must match the snapshot
+        (re-sharding onto a different mesh = finalize + modset merge
+        instead).  Keyword overrides (max_buffer_rows etc.) pass through."""
+        with open(path, "rb") as f:
+            d = np.load(f)
+            meta = d["meta"]
+            ks, ds, ms = d["state_k"], d["state_d"], d["state_m"]
+        (ver, k, w, seed, n, S, bo, cap, chunk, total_emitted,
+         cursor) = (int(x) for x in meta)
+        if ver != cls.SNAP_VERSION:
+            raise ValueError(f"{path}: snapshot version {ver} != "
+                             f"{cls.SNAP_VERSION}")
+        if (k, w, seed) != (sh.k, sh.w, sh.seed):
+            raise ValueError(
+                f"{path}: snapshot seqhash (k={k} w={w} seed={seed}) does "
+                f"not match (k={sh.k} w={sh.w} seed={sh.seed})")
+        if n != mesh.devices.size:
+            raise ValueError(
+                f"{path}: snapshot has {n} shards but the mesh has "
+                f"{mesh.devices.size} — finalize + merge to re-shard")
+        b = cls(sh, mesh, chunk_per_dev=chunk, state_size=S, **kwargs)
+        b.bo, b.cap, b.total_emitted = bo, cap, total_emitted
+        if b.n == 1:
+            put = jnp.asarray
+        else:
+            shd = jax.sharding.NamedSharding(mesh, P("shard"))
+
+            def put(a):  # works single- and multi-process
+                return jax.make_array_from_callback(
+                    a.shape, shd, lambda idx: a[idx])
+        b.state_k = put(np.ascontiguousarray(ks))
+        b.state_d = put(np.ascontiguousarray(ds))
+        b.state_m = put(np.ascontiguousarray(ms))
+        return b, cursor
+
     def finalize(self):
         """Gather shards and return (kmers, counts) in first-encounter order —
         identical to the sequential build's insertion stream."""

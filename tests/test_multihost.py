@@ -51,7 +51,21 @@ else:
 mesh = build_mesh()
 b = MultiHostModsetBuilder(sh, mesh, chunk_per_dev=1 << 11,
                            state_size=1 << 12)
-b.feed_stream(my_codes, my_off, base=base)
+if os.environ.get("MH_SNAPSHOT") == "1":
+    # preemption drill: snapshot mid-stream (collective), restore into a
+    # fresh builder in the same processes, finish the stream.  Each host
+    # keeps its own local cursor; the snapshot file is on shared storage.
+    from jax.experimental import multihost_utils
+    cutr = (len(my_off) - 1) // 2
+    cut = int(my_off[cutr])
+    b.feed_stream(my_codes[:cut], my_off[:cutr + 1], base=base)
+    snap = os.path.join(outdir, "build.snap")
+    b.save(snap, cursor=base + cut)
+    multihost_utils.sync_global_devices("snapshot written")
+    b, _cur = MultiHostModsetBuilder.restore(snap, sh, mesh)
+    b.feed_stream(my_codes[cut:], my_off[cutr:] - cut, base=base + cut)
+else:
+    b.feed_stream(my_codes, my_off, base=base)
 ks, ds = b.finalize()
 if pid == 0:
     np.savez(os.path.join(outdir, "mh.npz"), ks=ks, ds=ds)
@@ -61,17 +75,21 @@ print("WORKER", pid, "OK", len(ks))
 
 @pytest.mark.skipif(os.environ.get("MODIMIZER_SKIP_MULTIHOST") == "1",
                     reason="multihost test disabled")
-@pytest.mark.parametrize("split_read", [60, 104])
-def test_two_process_build_matches_sequential(tmp_path, split_read):
+@pytest.mark.parametrize("split_read,snapshot", [(60, False), (104, False),
+                                                 (60, True)])
+def test_two_process_build_matches_sequential(tmp_path, split_read, snapshot):
     """split 60 = even halves; split 104 = uneven shards with different
-    per-host step counts (exercises the global step agreement)."""
+    per-host step counts (exercises the global step agreement); snapshot =
+    mid-stream save + restore in both processes (SURVEY §5 device-state
+    snapshotting for long multi-host runs)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     coord = f"127.0.0.1:{port}"
     script = tmp_path / "worker.py"
     script.write_text(WORKER % {"repo": REPO})
-    env = {**os.environ, "MH_SPLIT_READ": str(split_read)}
+    env = {**os.environ, "MH_SPLIT_READ": str(split_read),
+           "MH_SNAPSHOT": "1" if snapshot else "0"}
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(pid), coord, str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env)

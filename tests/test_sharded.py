@@ -224,3 +224,58 @@ def test_sharded_merge_clears_flags_of_new_entries():
     assert np.array_equal(ks, ms_a.value[1:n + 1])
     assert np.array_equal(ds, ms_a.depth[1:n + 1])
     assert np.array_equal(infos, ms_a.info[1:n + 1])
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+@pytest.mark.parametrize("n_dev", [1, None])
+def test_builder_snapshot_resume(tmp_path, n_dev):
+    """Device-state snapshotting (SURVEY §5): save mid-stream, restore into
+    a fresh builder, feed the rest — identical insertion stream to the
+    uninterrupted build, on both the n=1 fast path and the full mesh."""
+    rng = np.random.default_rng(31)
+    sh = Seqhash.create(16, 16, 17)
+    lens = rng.integers(50, 400, size=240)
+    seqs = [rng.integers(0, 4, size=l).astype(np.uint8) for l in lens]
+    codes = np.concatenate(seqs)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    mesh = build_mesh(n_devices=n_dev)
+    kw = dict(chunk_per_dev=1 << 10, state_size=1 << 12)
+    full = ShardedModsetBuilder(sh, mesh, **kw)
+    full.feed_stream(codes, offsets)
+    want_k, want_d = full.finalize()
+
+    # split at a sequence boundary mid-stream
+    cut_seq = 100
+    cut = int(offsets[cut_seq])
+    b1 = ShardedModsetBuilder(sh, mesh, **kw)
+    b1.feed_stream(codes[:cut], offsets[:cut_seq + 1])
+    snap = tmp_path / "build.snap"
+    b1.save(str(snap), cursor=cut)
+
+    b2, cursor = ShardedModsetBuilder.restore(str(snap), sh, mesh)
+    assert cursor == cut
+    assert b2.total_emitted == b1.total_emitted
+    b2.feed_stream(codes[cursor:], offsets[cut_seq:] - cut, base=cursor)
+    ks, ds = b2.finalize()
+    assert np.array_equal(ks, want_k)
+    assert np.array_equal(ds, want_d)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multiple devices")
+def test_builder_snapshot_mismatch_errors(tmp_path):
+    rng = np.random.default_rng(32)
+    sh = Seqhash.create(16, 16, 17)
+    codes = rng.integers(0, 4, size=3000).astype(np.uint8)
+    offsets = np.array([0, 3000], np.int64)
+    mesh = build_mesh()
+    b = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 10,
+                             state_size=1 << 12)
+    b.feed_stream(codes, offsets)
+    snap = tmp_path / "s.snap"
+    b.save(str(snap))
+    with pytest.raises(ValueError, match="does not match"):
+        ShardedModsetBuilder.restore(str(snap), Seqhash.create(17, 16, 17),
+                                     mesh)
+    with pytest.raises(ValueError, match="re-shard"):
+        ShardedModsetBuilder.restore(str(snap), sh, build_mesh(n_devices=2))
