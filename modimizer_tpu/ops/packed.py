@@ -105,6 +105,10 @@ def mod_is_zero(hashes, w):
     """hashes % w == 0, with the common power-of-two w reduced to a 32-bit
     mask (u64 modulo is emulated on the TPU VPU and costs ~20% of the whole
     scan step)."""
+    if hashes.dtype == jnp.uint32:      # u32 front (k <= 16): hash < 2^32
+        if _is_pow2(w):
+            return (hashes & jnp.uint32(w - 1)) == jnp.uint32(0)
+        return (hashes % jnp.uint32(w)) == jnp.uint32(0)
     if _is_pow2(w) and w <= (1 << 32):
         lo = (hashes & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         return (lo & jnp.uint32(w - 1)) == jnp.uint32(0)

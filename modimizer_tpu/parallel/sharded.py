@@ -162,6 +162,88 @@ def _scan_front(sw, *, k, factor1, C):
     return hashes, kmers, pos, isF
 
 
+def front_backend_default():
+    """Scan-front policy (overridable with MODIMIZER_FRONT): 'funnel64' is
+    the round-2 u64 funnel; 'u32' computes the whole front in u32 for
+    k <= 16 (kmers fit 32 bits, so the hash multiply shrinks from an
+    emulated u64 x u64 to four 16x16 partial products + one u32 mullo per
+    strand, and every funnel shift halves).  Bit-exact either way
+    (tests/test_scan_front_u32.py); read at trace time like
+    MODIMIZER_COMPACT."""
+    return os.environ.get("MODIMIZER_FRONT", "funnel64")
+
+
+def _hash32_hi(a, factor1):
+    """Bits 32..63 of (a * factor1) mod 2^64 for u32 a, as u32 — the only
+    hash window the scan needs for k <= 16 (hf = product >> (64-2k) is a
+    sub-window of it).  Exact 16-bit-limb mulhi: the compiler sees four
+    16x16->32 partial products with compile-time constant factors instead
+    of an emulated 64x64 multiply.
+
+    hi32(a*Fl) = a1*b1 + carry(a1*b0 + a0*b1 + (a0*b0 >> 16)); the inner
+    sum is split (c = a1*b0 + (a0*b0>>16), d = a0*b1) so no intermediate
+    overflows u32; then + lo32(a*Fh) with natural mod-2^32 wraparound."""
+    Fl = factor1 & 0xFFFFFFFF
+    b0 = jnp.uint32(Fl & 0xFFFF)
+    b1 = jnp.uint32(Fl >> 16)
+    Fh = jnp.uint32((factor1 >> 32) & 0xFFFFFFFF)
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> jnp.uint32(16)
+    c = a1 * b0 + ((a0 * b0) >> jnp.uint32(16))
+    d = a0 * b1
+    carry = ((c >> jnp.uint32(16)) + (d >> jnp.uint32(16))
+             + (((c & jnp.uint32(0xFFFF)) + (d & jnp.uint32(0xFFFF)))
+                >> jnp.uint32(16)))
+    return a1 * b1 + carry + a * Fh
+
+
+def _scan_front_u32(sw, *, k, factor1, C):
+    """u32 scan front for k <= 16 — bit-exact to _scan_front, all arrays
+    u32.  The u64 funnel words are consumed as (hi, lo) u32 halves: the
+    forward kmer is bits 32..63 >> (32-2k) of the funnel shift, the RC kmer
+    is bits 0..31 of the complement funnel, and both hashes come from
+    _hash32_hi.  Returns (hashes u32, kmers u32, pos u32, isF bool)."""
+    assert k <= 16
+    NW = C // 32
+    tw = derive_tw(sw)
+    sA = (sw >> jnp.uint64(32)).astype(jnp.uint32)
+    sB = sw.astype(jnp.uint32)
+    tA = (tw >> jnp.uint64(32)).astype(jnp.uint32)
+    tB = tw.astype(jnp.uint32)
+    A0, B0, A1 = sA[:NW], sB[:NW], sA[1:NW + 1]
+    At0, Bt0, Bt1 = tA[:NW], tB[:NW], tB[1:NW + 1]
+    kshift = jnp.uint32(32 - 2 * k)
+    mask2k = jnp.uint32((1 << (2 * k)) - 1)
+    h_rows, r_rows = [], []
+    for r in range(32):
+        # bits 32..63 of (w0s << 2r | w1s >> (64-2r)) and bits 0..31 of
+        # (w0t >> 2r | w1t << (64-2r)), branching on r so no u32 shift
+        # count ever reaches 32
+        if r == 0:
+            h32, t32 = A0, Bt0
+        elif r < 16:
+            h32 = (A0 << jnp.uint32(2 * r)) | (B0 >> jnp.uint32(32 - 2 * r))
+            t32 = (Bt0 >> jnp.uint32(2 * r)) | (At0 << jnp.uint32(32 - 2 * r))
+        elif r == 16:
+            h32, t32 = B0, At0
+        else:
+            h32 = (B0 << jnp.uint32(2 * r - 32)) | (A1 >> jnp.uint32(64 - 2 * r))
+            t32 = (At0 >> jnp.uint32(2 * r - 32)) | (Bt1 << jnp.uint32(64 - 2 * r))
+        h_rows.append(h32 >> kshift if k < 16 else h32)
+        r_rows.append(t32 & mask2k if k < 16 else t32)
+    h = jnp.stack(h_rows, axis=0)       # [32, NW], element [r, i] = pos 32i+r
+    hrc = jnp.stack(r_rows, axis=0)
+    hf = _hash32_hi(h, factor1) >> kshift
+    hr = _hash32_hi(hrc, factor1) >> kshift
+    isF = hf < hr
+    hashes = jnp.where(isF, hf, hr)
+    kmers = jnp.where(isF, h, hrc)
+    rows = jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 0)
+    pos = (jax.lax.broadcasted_iota(jnp.uint32, (32, NW), 1) * jnp.uint32(32)
+           + rows)
+    return hashes, kmers, pos, isF
+
+
 def _expand_valid(vbits, C):
     """[32, NW] validity mask from the packed little-endian bit words:
     vb32[i] holds the bits of positions 32i..32i+31."""
@@ -189,8 +271,11 @@ def _stage_fronts(kmers, pos, emit, k):
     front into EVERY 8-bit limb plane of the compaction cols (8-9 full
     recomputes, ~4 ms/step of the round-2 profile); one forced
     materialization of ~150 MB is ~0.4 ms."""
-    klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
-    khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
+    if kmers.dtype == jnp.uint32:       # u32 front (k <= 16)
+        klo, khi = kmers, None
+    else:
+        klo = (kmers & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        khi = (kmers >> jnp.uint64(32)).astype(jnp.uint32)
     if k > 16:
         klo, khi, pos, emit = jax.lax.optimization_barrier(
             (klo, khi, pos, emit))
@@ -443,7 +528,7 @@ def _compact_blocks_twolevel(kmers, pos, emit, *, k, C, bo, int8=True):
 
 
 def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
-                       backend=None, posmajor=True):
+                       backend=None, posmajor=True, front=None):
     """Single-device scan step with MXU compaction, phase-major layout.
 
     All elementwise work runs on [32, NW] arrays (minor dim NW keeps the
@@ -467,7 +552,12 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     With meta_isf the pos column carries (pos << 1) | isF instead.  Returns
     (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos/meta u32,
     n_emit, overflow)."""
-    hashes, kmers, pos, isF = _scan_front(sw, k=k, factor1=factor1, C=C)
+    front = front or front_backend_default()
+    if k <= 16 and w < (1 << 32) and front == "u32":
+        hashes, kmers, pos, isF = _scan_front_u32(sw, k=k, factor1=factor1,
+                                                  C=C)
+    else:
+        hashes, kmers, pos, isF = _scan_front(sw, k=k, factor1=factor1, C=C)
     if meta_isf:
         pos = (pos << jnp.uint32(1)) | isF.astype(jnp.uint32)
     emit = valid & mod_is_zero(hashes, w)
@@ -545,12 +635,13 @@ def _compact_blocks_butterfly(kmers, pos, emit, *, k, C, bo):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "factor1", "C", "bo",
-                                    "backend"))
-def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo, backend=None):
+                                    "backend", "front"))
+def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo, backend=None,
+                        front=None):
     # builder path: consumers sort downstream, skip the posmajor transpose
     return _scan_compact_core(sw, _expand_valid(vbits, C), k=k, w=w,
                               factor1=factor1, C=C, bo=bo, backend=backend,
-                              posmajor=False)
+                              posmajor=False, front=front)
 
 
 @functools.partial(jax.jit,

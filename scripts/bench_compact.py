@@ -26,6 +26,7 @@ from modimizer_tpu.core.seqhash import Seqhash
 from modimizer_tpu.ops.packed import mod_is_zero, pack_bits, pack_sw
 from modimizer_tpu.ops.seqhash import scan_bo
 from modimizer_tpu.parallel.sharded import (BLK, _expand_valid, _scan_front,
+                                            _scan_front_u32,
                                             _scan_compact_local)
 
 K, W, SEED = 16, 16, 17
@@ -48,39 +49,44 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=())
-    def front_only(swx, vb):
+    @functools.partial(jax.jit, static_argnames=("u32",))
+    def front_only(swx, vb, u32=False):
         """The scan front alone (funnel + both-strand hash + emit mask) —
         the step's floor; the gap to a full backend is the compaction
         cost.  Reduced to scalars so nothing big leaves the device."""
-        hashes, kmers, pos, isF = _scan_front(swx, k=K, factor1=sh.factor1,
-                                              C=C)
+        fr = _scan_front_u32 if u32 else _scan_front
+        hashes, kmers, pos, isF = fr(swx, k=K, factor1=sh.factor1, C=C)
         emit = _expand_valid(vb, C) & mod_is_zero(hashes, W)
         n = jnp.sum(emit).astype(jnp.int64)
-        chk = jnp.sum(jnp.where(emit, kmers, jnp.uint64(0)))
+        chk = jnp.sum(jnp.where(emit, kmers.astype(jnp.uint64),
+                                jnp.uint64(0)))
         return n + chk.astype(jnp.int64)
 
     ref = None
     for be in BACKENDS:
-        if be == "front":
+        # "front"/"front32" = front-only floors; "<backend>@u32" runs a
+        # compaction backend over the u32 front (MODIMIZER_FRONT=u32)
+        if be in ("front", "front32"):
             def step(dep, be=be):
                 swx = sw_d.at[0].set(
                     sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
-                s = front_only(swx, vb_d)
+                s = front_only(swx, vb_d, u32=(be == "front32"))
                 return None, None, s, None
         else:
-            def step(dep, be=be):
+            cbe, _, fr = be.partition("@")
+            def step(dep, cbe=cbe, fr=fr):
                 swx = sw_d.at[0].set(
                     sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
                 return _scan_compact_local(swx, vb_d, k=K, w=W,
                                            factor1=sh.factor1, C=C, bo=BO,
-                                           backend=be)
+                                           backend=cbe,
+                                           front=(fr or None))
 
         t0 = time.perf_counter()
         out = step(jnp.int64(0))
         n = int(np.asarray(out[2]))
         t_compile = time.perf_counter() - t0
-        if be == "front":
+        if be in ("front", "front32"):
             match = "n/a"
         else:
             host = tuple(np.asarray(x) for x in out[:2])
