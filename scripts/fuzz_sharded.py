@@ -69,6 +69,8 @@ def trial_build(rng, trial):
     # vary per trial (BLK is frozen at import — sweep it from the shell)
     be = str(rng.choice(BACKENDS))
     os.environ["MODIMIZER_COMPACT"] = be
+    fr = str(rng.choice(["funnel64", "u32"]))   # u32 applies when k <= 16
+    os.environ["MODIMIZER_FRONT"] = fr
     codes, offsets = rand_stream(rng, overflow_bias=rng.random() < 0.4)
     chunk = BLK * int(rng.integers(1, 5))
     state = int(rng.choice([1 << 8, 1 << 10, 1 << 14]))
@@ -87,8 +89,8 @@ def trial_build(rng, trial):
     assert np.array_equal(ds, np.minimum(wd, 0xFFFF)), \
         f"trial {trial}: depths diverge (n_dev={n_dev} k={k} w={w})"
     assert b.total_emitted == len(km)
-    return (f"build n_dev={n_dev} k={k} w={w} be={be} n={len(codes)} "
-            f"uniq={len(ks)}")
+    return (f"build n_dev={n_dev} k={k} w={w} be={be} fr={fr} "
+            f"n={len(codes)} uniq={len(ks)}")
 
 
 def trial_merge(rng, trial):
@@ -160,8 +162,9 @@ def trial_multihost(rng, trial):
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 30
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    iters = int(args[0]) if len(args) > 0 else 30
+    seed = int(args[1]) if len(args) > 1 else 0
     multihost = "--multihost" in sys.argv
     rng = np.random.default_rng(seed)
     kinds = [trial_build, trial_merge, trial_lookup]
