@@ -79,8 +79,9 @@ def _densify(out_k, out_meta, bo, cap):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "bo", "cap"))
-def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap):
+                   static_argnames=("k", "w", "factor1", "bo", "cap",
+                                    "front"))
+def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap, front=None):
     """Kmers-only scan chunk for table builds (modutils -a / bench e2e).
 
     Validity (read boundaries + tail) rides as packed bits (1/8 B/base up),
@@ -94,7 +95,8 @@ def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap):
     C = 32 * (sw.shape[0] - 2)
     valid = _expand_valid(vbits, C)
     out_k, out_meta, n_emit, overflow = _scan_compact_core(
-        sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=False)
+        sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=False,
+        front=front)
     live = out_meta != jnp.uint32(0xFFFFFFFF)
     if k <= 16:
         out_k = out_k.astype(jnp.uint32)
@@ -108,8 +110,9 @@ def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "bo", "cap"))
-def _scan_chunk(sw, m, *, k, w, factor1, bo, cap):
+                   static_argnames=("k", "w", "factor1", "bo", "cap",
+                                    "front"))
+def _scan_chunk(sw, m, *, k, w, factor1, bo, cap, front=None):
     """Packed-stream scan of C positions (C = 32*(len(sw)-2)).
 
     sw: u64 [C/32 + 2] (big-endian-packed words + halo).  m: i32 live-
@@ -124,7 +127,8 @@ def _scan_chunk(sw, m, *, k, w, factor1, bo, cap):
            + rows)
     valid = pos < jnp.uint32(m)
     out_k, out_meta, n_emit, overflow = _scan_compact_core(
-        sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=True)
+        sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=True,
+        front=front)
     if k <= 16:  # kmer fits u32: halve the device->host bytes
         out_k = out_k.astype(jnp.uint32)
     cap = min(cap, out_k.shape[0])  # dense rows can't exceed padded rows

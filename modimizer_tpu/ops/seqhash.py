@@ -137,6 +137,10 @@ class ModimizerScanner:
         self.n_fallback = 0        # chunks that hit the native host rescan
         self.host_threshold = (self.default_host_threshold()
                                if host_threshold is None else host_threshold)
+        # scan-front policy (MODIMIZER_FRONT), captured here so tests can
+        # force a front per scanner instance instead of per process
+        import os
+        self.front = os.environ.get("MODIMIZER_FRONT") or None
 
     def _dispatch(self, codes: np.ndarray, s: int, m: int,
                   wide: bool = False):
@@ -152,7 +156,7 @@ class ModimizerScanner:
         return _scan_chunk(
             jnp.asarray(sw), jnp.int32(m),
             k=k, w=self.sh.w, factor1=self.sh.factor1, bo=bo,
-            cap=cap)
+            cap=cap, front=self.front)
 
     @staticmethod
     def _pack_native(seg: np.ndarray, n_words: int) -> np.ndarray:
@@ -190,7 +194,7 @@ class ModimizerScanner:
                 jnp.asarray(sw),
                 jnp.asarray(vwords[s // 64:s // 64 + C // 64]),
                 k=k, w=self.sh.w, factor1=self.sh.factor1, bo=bo,
-                cap=cap)
+                cap=cap, front=self.front)
 
     def scan_kmers(self, codes: np.ndarray, offsets: np.ndarray,
                    consumer=None):

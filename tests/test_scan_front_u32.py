@@ -75,3 +75,34 @@ def test_scan_compact_u32_front_bitexact(k, w):
                               bo=bo, front="u32")
     for a, b in zip(ref, got):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scan_kmers_pipeline_u32_front():
+    """The full device pipeline (scan_kmers incl. wide-retry tier, and
+    scan_stream's exact order) is identical under both fronts, forced via
+    the scanner's per-instance policy."""
+    from modimizer_tpu.ops.seqhash import ModimizerScanner
+    rng = np.random.default_rng(41)
+    sh = Seqhash.create(16, 16, 17)
+    lens = rng.integers(50, 400, size=120)
+    seqs = [rng.integers(0, 4, size=l).astype(np.uint8) for l in lens]
+    # a homopolymer read forces the block-overflow wide-retry tier
+    seqs[10][:] = 0
+    codes = np.concatenate(seqs)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    outs = {}
+    for fr in ("funnel64", "u32"):
+        sc = ModimizerScanner(sh, chunk=1 << 12, host_threshold=0)
+        sc.front = fr
+        outs[fr] = (sc.scan_kmers(codes, offsets),
+                    sc.scan_stream(codes, offsets))
+    (k_a, (sk_a, sg_a, sf_a)), (k_b, (sk_b, sg_b, sf_b)) = \
+        outs["funnel64"], outs["u32"]
+    assert np.array_equal(k_a, k_b)
+    assert np.array_equal(sk_a, sk_b)
+    assert np.array_equal(sg_a, sg_b)
+    assert np.array_equal(sf_a, sf_b)
+    # and both match the host oracle
+    host = ModimizerScanner(sh, host_threshold=1 << 62)
+    assert np.array_equal(k_a, host.scan_kmers(codes, offsets))
