@@ -24,6 +24,29 @@ static inline U64 seqhash64(U64 kmer, U64 factor1, int shift1) {
   return (kmer * factor1) >> shift1;
 }
 
+// Probe loops below are DRAM-latency bound (random 4 B probes into a
+// 2^tableBits bucket array, then a dependent value/depth load).  A two-stage
+// software pipeline hides most of it: PD ahead, prefetch the first probe
+// bucket; PD/2 ahead, peek the bucket and prefetch the entry it names.
+// Prefetches are hints — replay semantics are untouched (a stale peek just
+// wastes a hint; duplicate in-batch kmers still take the exact probe path).
+#define MS_PD 16
+#define MS_PREFETCH(T, V, D, K)                                            \
+  do {                                                                     \
+    if (i + MS_PD < n) {                                                   \
+      U64 hp = seqhash64((K)[i + MS_PD], factor1, shift1);                 \
+      __builtin_prefetch(&(T)[hp & mask], 0, 1);                           \
+    }                                                                      \
+    if (i + MS_PD / 2 < n) {                                               \
+      U64 hp = seqhash64((K)[i + MS_PD / 2], factor1, shift1);             \
+      U32 ip = (T)[hp & mask];                                             \
+      if (ip) {                                                            \
+        __builtin_prefetch(&(V)[ip], 0, 1);                                \
+        if (D) __builtin_prefetch(&((const U16 *)(D))[ip], 1, 1);          \
+      }                                                                    \
+    }                                                                      \
+  } while (0)
+
 extern "C" {
 
 // Look up a batch of kmers; out[i] = index (0 if absent).
@@ -32,6 +55,7 @@ void ms_find_batch(const U32 *table, const U64 *value, int tableBits,
                    U32 *out) {
   const U64 mask = (((U64)1) << tableBits) - 1;
   for (int64_t i = 0; i < n; ++i) {
+    MS_PREFETCH(table, value, (const U16 *)0, kmers);
     U64 kmer = kmers[i];
     U64 hash = seqhash64(kmer, factor1, shift1);
     U64 offset = hash & mask;
@@ -57,6 +81,7 @@ int64_t ms_insert_batch(U32 *table, U64 *value, U16 *depth, U8 *info,
   const U64 mask = (((U64)1) << tableBits) - 1;
   U64 max = (U64)maxIn;
   for (int64_t i = 0; i < n; ++i) {
+    MS_PREFETCH(table, value, depth, kmers);
     U64 kmer = kmers[i];
     U64 hash = seqhash64(kmer, factor1, shift1);
     U64 offset = hash & mask;
@@ -91,6 +116,7 @@ int64_t ms_merge_batch(U32 *table, U64 *value, U16 *depth, U8 *info,
   const U64 mask = (((U64)1) << tableBits) - 1;
   U64 max = (U64)maxIn;
   for (int64_t i = 0; i < n; ++i) {
+    MS_PREFETCH(table, value, depth, kmers);
     U64 kmer = kmers[i];
     U64 hash = seqhash64(kmer, factor1, shift1);
     U64 offset = hash & mask;
@@ -126,6 +152,10 @@ int64_t ms_rebuild_table(U32 *table, const U64 *value, int tableBits,
   U64 tableSize = ((U64)1) << tableBits;
   memset(table, 0, tableSize * sizeof(U32));
   for (int64_t i = 1; i <= max; ++i) {
+    if (i + MS_PD <= max) {
+      U64 hp = seqhash64(value[i + MS_PD], factor1, shift1);
+      __builtin_prefetch(&table[hp & mask], 1, 1);
+    }
     U64 kmer = value[i];
     U64 hash = seqhash64(kmer, factor1, shift1);
     U64 offset = hash & mask;
