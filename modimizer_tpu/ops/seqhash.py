@@ -285,6 +285,146 @@ class ModimizerScanner:
                     else np.zeros(0, np.uint64))
         return total
 
+    def scan_kmers_batches(self, batches, consumer=None):
+        """Streaming variant of scan_kmers: consume (codes, offsets)
+        batches from an iterator (e.g. io.stream_seq.iter_fasta_batches'
+        parse-ahead thread) and dispatch full chunks as data arrives, so
+        file parsing, the device scan, transfers, and the host table
+        replay all overlap.  Chunks ride a carry buffer across batches —
+        identical chunk boundaries, rows, and stream order to one
+        scan_kmers call on the concatenated stream (tests pin equality).
+
+        Each batch must be whole reads (offsets[0] == 0, offsets[-1] ==
+        len(codes)).  Validity is computed per chunk from a clipped
+        offsets window — exact for every in-chunk position (a read
+        continuing past the window clears only halo bits the chunk never
+        uses).  Returns total emits (consumer mode) or the concatenated
+        kmers array."""
+        import jax.numpy as jnp
+        from .device_scan import _scan_chunk_kmers
+        from ..native import lib as native_lib
+        sh = self.sh
+        k = sh.k
+        C = self.chunk
+        halo = k - 1
+        self.used_device = True
+        L = native_lib()
+        NWV = C // 64                    # validity words the device reads
+        NWB = (C + halo + 63) // 64      # buffer incl. halo positions
+
+        out = [] if consumer is None else None
+        total = 0
+        pending = []
+        buf = np.zeros(0, np.uint8)
+        base = 0          # absolute stream position of buf[0]
+        offs = np.zeros(1, np.int64)   # absolute read offsets (leading 0)
+        n_in = 0          # absolute codes ingested
+        eof = False
+        s = 0             # next chunk start (absolute)
+
+        def win_valid(sa, m_win):
+            j0 = max(int(np.searchsorted(offs, sa, side="right")) - 1, 0)
+            j1 = int(np.searchsorted(offs, sa + m_win, side="left"))
+            oo = np.ascontiguousarray(
+                np.clip(offs[j0:j1 + 1], sa, sa + m_win) - sa)
+            vw = np.zeros(NWB, np.uint64)
+            L.pk_valid_words(oo, len(oo) - 1, m_win, k, vw, NWB)
+            return vw[:NWV]
+
+        def dispatch(sa, wide=False):
+            bo, cap = self._wide() if wide else (self.bo, self.cap)
+            rel = sa - base
+            seg = buf[rel:rel + C + halo]
+            with profiling.stage("scan.pack"):
+                sw = self._pack_native(seg, C // 32 + 2)
+                vb = win_valid(sa, len(seg))
+            with profiling.stage("scan.dispatch"):
+                return _scan_chunk_kmers(jnp.asarray(sw), jnp.asarray(vb),
+                                         k=k, w=sh.w, factor1=sh.factor1,
+                                         bo=bo, cap=cap, front=self.front)
+
+        def rescan_window(sa):
+            # exact host fallback on the chunk window (clipping argument:
+            # see _rescan_rows)
+            rel = sa - base
+            m = min(C, n_in - sa)
+            seg = np.ascontiguousarray(buf[rel:rel + m + halo])
+            lo = np.clip(offs, sa, sa + len(seg)) - sa
+            kms, pos, _ = self._scan_host(seg.view(np.int8), lo)
+            return kms[pos < m]
+
+        def drain(entry):
+            nonlocal total
+            sa, fut = entry
+            km, tot = fut
+            with profiling.stage("scan.download"):
+                tot = int(tot)
+                if tot < 0:      # cap/block overflow: retry wide on device
+                    self.n_wide += 1
+                    km, tot = dispatch(sa, wide=True)
+                    tot = int(tot)
+                if tot < 0:      # still overflowing: exact host rescan
+                    self.n_fallback += 1
+                    kms = rescan_window(sa)
+                else:
+                    kms = np.asarray(km)[:tot]
+                    if kms.dtype != np.uint64:
+                        kms = kms.astype(np.uint64)
+            total += len(kms)
+            if consumer is None:
+                out.append(kms)
+            else:
+                with profiling.stage("scan.consumer"):
+                    consumer(kms)
+
+        def prefetch(fut):
+            for a in fut:
+                try:
+                    a.copy_to_host_async()
+                except (AttributeError, RuntimeError):  # pragma: no cover
+                    break
+            return fut
+
+        it = iter(batches)
+        with profiling.trace_region():
+            while True:
+                while not eof and n_in - s < C + halo:
+                    try:
+                        codes_b, offs_b = next(it)
+                    except StopIteration:
+                        eof = True
+                        break
+                    cb = np.ascontiguousarray(codes_b).view(np.uint8)
+                    ob = np.asarray(offs_b, np.int64)
+                    if len(ob) == 0 or ob[-1] != len(cb):
+                        raise ValueError(
+                            "scan_kmers_batches: batch offsets must cover "
+                            "whole reads")
+                    offs = np.concatenate([offs, ob[1:] + n_in])
+                    buf = np.concatenate([buf, cb])
+                    n_in += len(cb)
+                if s >= n_in:
+                    break
+                pending.append((s, prefetch(dispatch(s))))
+                s += C
+                if len(pending) > self.max_inflight:
+                    drain(pending.pop(0))
+                    # trim consumed bytes; the oldest pending chunk's
+                    # window must stay resident for its wide retry
+                    done = pending[0][0] if pending else s
+                    cut = done - base
+                    if cut > (64 << 20):
+                        buf = buf[cut:]
+                        base += cut
+                        j = max(int(np.searchsorted(offs, base,
+                                                    side="right")) - 1, 0)
+                        offs = offs[j:]
+            for entry in pending:
+                drain(entry)
+        if consumer is None:
+            return (np.concatenate(out) if out else np.zeros(0, np.uint64))
+        return total
+
     def _rescan_rows(self, s, m, codes, offsets):
         """Exact per-chunk overflow fallback on the native OpenMP kernel.
 
