@@ -53,6 +53,20 @@ def usage():
 DEVICE_COUNT_THRESHOLD = 1 << 25  # streams >= 32 Mbase count on device
 
 
+def _est_stream_len(filename) -> int:
+    """Cheap decompressed-size estimate for routing (file size; gzip ISIZE
+    trailer, mod 2^32, for gzipped input).  -1 if the file is unreadable."""
+    try:
+        sz = os.path.getsize(filename)
+        with open(filename, "rb") as f:
+            if f.read(2) == b"\x1f\x8b" and sz >= 4:
+                f.seek(-4, 2)
+                sz = int.from_bytes(f.read(4), "little")
+        return sz
+    except OSError:
+        return -1
+
+
 def add_sequence_file(ms: Modset, scanner: ModimizerScanner, filename,
                       out, is10x=False) -> bool:
     """modutils addSequenceFile (modutils.c:33-51).
@@ -60,7 +74,45 @@ def add_sequence_file(ms: Modset, scanner: ModimizerScanner, filename,
     Small inputs: device/host scan + exact replay insert of the raw k-mer
     stream.  Large inputs: fully device-resident sharded count (sorted
     segment-reduce per chunk, first-encounter position min-reduced), then one
-    exact replay insert — bit-identical results either way."""
+    exact replay insert — bit-identical results either way.  FASTA/FASTQ
+    inputs bound for the device scan take a parse-ahead streaming path:
+    segments parse on a background thread while earlier chunks compute on
+    device (identical chunking and insert stream to the whole-file path)."""
+    est = _est_stream_len(filename)
+    if est < 0:
+        return False
+    use_device = ("tpu" in ModimizerScanner.platform_hint()
+                  or os.environ.get("MODIMIZER_SCAN") == "device")
+    count_on_device = (use_device and est >= DEVICE_COUNT_THRESHOLD
+                       and not os.environ.get("MODIMIZER_NO_DEVICE_COUNT"))
+    if not is10x and not count_on_device and est >= scanner.host_threshold:
+        from ..io.stream_seq import iter_seq_batches
+        try:
+            it = iter_seq_batches(filename, seqio.dna2index_n0())
+            first = next(it, None)
+        except ValueError:
+            pass        # not FASTA/FASTQ: generic whole-file path below
+        except IOError:
+            return False
+        else:
+            n_seq = tot_len = 0
+
+            def _batches():
+                nonlocal n_seq, tot_len
+                for cb, ob in ([first] if first is not None else []):
+                    n_seq += len(ob) - 1
+                    tot_len += len(cb)
+                    yield cb, ob
+                for cb, ob in it:
+                    n_seq += len(ob) - 1
+                    tot_len += len(cb)
+                    yield cb, ob
+
+            n_hash = scanner.scan_kmers_batches(_batches(),
+                                                consumer=ms.add_batch)
+            out.write("added %d sequences total length %d total hashes %d,"
+                      " new max %d\n" % (n_seq, tot_len, n_hash, ms.max))
+            return True
     try:
         batch, _t = seqio.read_seq_file(filename, seqio.dna2index_n0(),
                                         is_qual=False, want_ids=False)

@@ -1,4 +1,4 @@
-"""Parse-ahead FASTA streaming for the device scan pipeline.
+"""Parse-ahead FASTA/FASTQ streaming for the device scan pipeline.
 
 The e2e modset build (modutils -a, modutils.c:19-49) spends ~20% of its
 wall time parsing the input before the first chunk reaches the device.
@@ -8,8 +8,10 @@ parser on a background thread (ctypes releases the GIL, so the parse
 genuinely overlaps device compute and the table replay), and the parsed
 (codes, offsets) batches stream into ModimizerScanner.scan_kmers_batches.
 
-Segments split at record starts ('\\n>'), so every batch is whole reads
-and the concatenated batches are byte-identical to a whole-file parse
+Segments split at record starts — '\\n>' for FASTA; every 4th line for
+FASTQ (strict 4-line records, matching the reference's one-line-sequence
+FASTQ grammar, seqio.c:302-332) — so every batch is whole reads and the
+concatenated batches are byte-identical to a whole-file parse
 (tests/test_stream_scan.py pins equality incl. on gzipped input).
 """
 
@@ -22,7 +24,7 @@ import numpy as np
 _SEG_BYTES = 64 << 20
 
 
-def _parse_segment(data, conv):
+def _parse_segment_fasta(data, conv):
     """Native FASTA parse of one segment -> (codes i8, offsets i64)."""
     from ..native import lib as native_lib
     L = native_lib()
@@ -38,12 +40,48 @@ def _parse_segment(data, conv):
     return codes[:nc], offsets
 
 
-def iter_fasta_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
-    """Yield (codes, offsets) batches of whole FASTA records from `path`
-    (plain or gzipped), parsed ahead on a background thread.
+def _parse_segment_fastq(data, conv):
+    """Native FASTQ parse (codes only) -> (codes i8, offsets i64)."""
+    from ..native import lib as native_lib
+    L = native_lib()
+    buf = np.frombuffer(data, np.uint8)
+    n = len(buf)
+    if n == 0:
+        return np.zeros(0, np.int8), np.zeros(1, np.int64)
+    n_rec = L.io_fastq_count(buf, n)
+    codes = np.empty(n, np.int8)
+    offsets = np.zeros(n_rec + 1, np.int64)
+    hdr = np.zeros(2 * max(n_rec, 1), np.int64)
+    nc = L.io_parse_fastq(buf, n, conv.ctypes.data, 0, codes, offsets,
+                          hdr, None)
+    if nc < 0:  # pragma: no cover - codes-only parse never checks quals
+        raise ValueError("FASTQ qual/seq length mismatch")
+    return codes[:nc], offsets
 
-    Raises ValueError before the first yield if the content is not FASTA
-    (callers fall back to the generic reader)."""
+
+def _cut_fasta(data):
+    """Largest split point so data[:cut] ends a whole FASTA record
+    (the remainder begins with '>'); -1 if none."""
+    cut = data.rfind(b"\n>")
+    return cut + 1 if cut >= 0 else -1
+
+
+def _cut_fastq(data):
+    """Largest split point on a 4-line (one-record) boundary; -1 if the
+    segment holds less than one full record."""
+    nl = np.flatnonzero(np.frombuffer(data, np.uint8) == 0x0A)
+    n4 = (len(nl) // 4) * 4
+    if n4 == 0:
+        return -1
+    return int(nl[n4 - 1]) + 1
+
+
+def iter_seq_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
+    """Yield (codes, offsets) batches of whole FASTA/FASTQ records from
+    `path` (plain or gzipped), parsed ahead on a background thread.
+
+    Raises ValueError before the first yield if the content is neither
+    FASTA nor FASTQ (callers fall back to the generic reader)."""
     from .seqio import _full256
     conv = np.ascontiguousarray(_full256(convert), np.int16)
     f = open(path, "rb")
@@ -53,9 +91,13 @@ def iter_fasta_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
         f = gzip.GzipFile(fileobj=f)
         head = f.read(1)
         f.seek(0)
-    if head[:1] != b">":
+    if head[:1] == b">":
+        cut_fn, parse_fn = _cut_fasta, _parse_segment_fasta
+    elif head[:1] == b"@":
+        cut_fn, parse_fn = _cut_fastq, _parse_segment_fastq
+    else:
         f.close()
-        raise ValueError(f"{path} is not FASTA")
+        raise ValueError(f"{path} is not FASTA/FASTQ")
 
     q = queue.Queue(maxsize=depth)
     _DONE = object()
@@ -67,18 +109,18 @@ def iter_fasta_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
                 data = f.read(seg_bytes)
                 if not data:
                     if carry:
-                        q.put(_parse_segment(carry, conv))
+                        q.put(parse_fn(carry, conv))
                     break
                 data = carry + data
-                # split before the last record start so the remainder
-                # begins with '>' (a segment holding one giant record
-                # keeps growing until its next record or EOF)
-                cut = data.rfind(b"\n>")
+                # split on a record boundary so the remainder starts a
+                # record (a segment holding one giant record keeps
+                # growing until its next record or EOF)
+                cut = cut_fn(data)
                 if cut < 0:
                     carry = data
                     continue
-                seg, carry = data[:cut + 1], data[cut + 1:]
-                q.put(_parse_segment(seg, conv))
+                seg, carry = data[:cut], data[cut:]
+                q.put(parse_fn(seg, conv))
             q.put(_DONE)
         except BaseException as e:  # surfaced in the consumer
             q.put(e)
@@ -94,3 +136,15 @@ def iter_fasta_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
         if isinstance(item, BaseException):
             raise item
         yield item
+
+
+def iter_fasta_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
+    """FASTA-only entry: like iter_seq_batches but rejects FASTQ too."""
+    with open(path, "rb") as fh:
+        head = fh.read(2)
+    if head[:2] == b"\x1f\x8b":
+        with gzip.open(path, "rb") as gh:
+            head = gh.read(1)
+    if head[:1] != b">":
+        raise ValueError(f"{path} is not FASTA")
+    return iter_seq_batches(path, convert, seg_bytes=seg_bytes, depth=depth)

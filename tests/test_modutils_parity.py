@@ -216,3 +216,24 @@ def test_documented_workflow(tmp_path):
     for suffix in (".his", ".dep", ".out.mod"):
         assert (d / ("c" + suffix)).read_bytes() == \
             (d / ("p" + suffix)).read_bytes(), suffix
+
+
+def test_streaming_device_build(data, tmp_path, monkeypatch):
+    """-a via the parse-ahead streaming + device scan route
+    (MODIMIZER_SCAN=device): .mod bytes and stdout identical for FASTA,
+    gzipped FASTA, and FASTQ inputs."""
+    d = data
+    gz = tmp_path / "reads.fa.gz"
+    gz.write_bytes(gzip.compress((d / "reads.fa").read_bytes()))
+    monkeypatch.setenv("MODIMIZER_SCAN", "device")
+    for src in (d / "reads.fa", gz, d / "reads.fq"):
+        stem = tmp_path / src.name
+        r = harness.run_tool("modutils", ["-c", "20", "16", "16", "17",
+                                          "-a", str(src),
+                                          "-w", f"{stem}.c.mod"])
+        code, out, err = run_ours(["-c", "20", "16", "16", "17",
+                                   "-a", str(src), "-w", f"{stem}.p.mod"])
+        assert code == 0
+        assert strip_timing(r.stdout.decode()) == strip_timing(out)
+        assert (Path(f"{stem}.c.mod").read_bytes()
+                == Path(f"{stem}.p.mod").read_bytes())

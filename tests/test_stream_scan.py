@@ -11,7 +11,7 @@ import pytest
 
 from modimizer_tpu.core.seqhash import Seqhash
 from modimizer_tpu.io import seqio
-from modimizer_tpu.io.stream_seq import iter_fasta_batches
+from modimizer_tpu.io.stream_seq import iter_fasta_batches, iter_seq_batches
 from modimizer_tpu.ops.seqhash import ModimizerScanner
 
 BASES = np.frombuffer(b"ACGT", np.uint8)
@@ -105,6 +105,42 @@ def test_iter_fasta_batches_rejects_non_fasta(tmp_path):
     p.write_bytes(b"@r1\nACGT\n+\nIIII\n")
     with pytest.raises(ValueError, match="not FASTA"):
         next(iter_fasta_batches(str(p), seqio.dna2index_n0()))
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_iter_seq_batches_fastq_equals_whole_parse(tmp_path, gz):
+    """FASTQ streaming: 4-line record splits, quality lines that start
+    with '@' and '+' must not confuse the segmenter."""
+    rng = np.random.default_rng(54)
+    _, _, seqs = _stream(rng, n_reads=130)
+    path = tmp_path / ("r.fq.gz" if gz else "r.fq")
+    qual_alphabet = np.frombuffer(b"@+!IJ~", np.uint8)
+    raw = b"".join(
+        b"@q%d d\n" % i
+        + s.tobytes().translate(bytes.maketrans(bytes(range(4)), b"ACGT"))
+        + b"\n+\n" + qual_alphabet[rng.integers(0, 6, len(s))].tobytes()
+        + b"\n" for i, s in enumerate(seqs))
+    path.write_bytes(gzip.compress(raw) if gz else raw)
+
+    conv = seqio.dna2index_n0()
+    got_c, got_o = [], [np.zeros(1, np.int64)]
+    n = 0
+    for cb, ob in iter_seq_batches(str(path), conv, seg_bytes=1 << 12):
+        got_c.append(cb)
+        got_o.append(ob[1:] + n)
+        n += len(cb)
+    batch, _ = seqio.read_seq_file(str(path), conv, is_qual=False,
+                                   want_ids=False)
+    assert np.array_equal(np.concatenate(got_c).view(np.int8), batch.codes)
+    assert np.array_equal(np.concatenate(got_o),
+                          np.asarray(batch.offsets, np.int64))
+
+
+def test_iter_seq_batches_rejects_binary(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"b" + b"\0" * 63)
+    with pytest.raises(ValueError, match="not FASTA/FASTQ"):
+        next(iter_seq_batches(str(p), seqio.dna2index_n0()))
 
 
 def test_stream_scan_end_to_end_fasta(tmp_path):
