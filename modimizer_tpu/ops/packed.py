@@ -34,14 +34,8 @@ def pack_bits(mask: np.ndarray, n_words: int) -> np.ndarray:
     return b.reshape(-1, 8).view("<u8").astype(np.uint64).reshape(-1)
 
 
-def derive_tw(sw):
-    """Device: tw[i] = complement of 2-bit-group-reversed sw[i].
-
-    sw is big-endian per word (base b at bits 62-2b..63-2b); tw is the
-    complemented stream little-endian per word (base b at bits 2b..2b+1).
-    Reversing the order of the 32 2-bit groups maps one to the other, and
-    3-v == ~v in 2 bits, so: tw = ~group_reverse(sw)."""
-    x = sw
+def grev64(x):
+    """Device: reverse the order of the 32 2-bit groups in each u64."""
     m2 = jnp.uint64(0x3333333333333333)
     m4 = jnp.uint64(0x0F0F0F0F0F0F0F0F)
     m8 = jnp.uint64(0x00FF00FF00FF00FF)
@@ -50,8 +44,17 @@ def derive_tw(sw):
     x = ((x & m4) << jnp.uint64(4)) | ((x >> jnp.uint64(4)) & m4)
     x = ((x & m8) << jnp.uint64(8)) | ((x >> jnp.uint64(8)) & m8)
     x = ((x & m16) << jnp.uint64(16)) | ((x >> jnp.uint64(16)) & m16)
-    x = (x << jnp.uint64(32)) | (x >> jnp.uint64(32))
-    return ~x
+    return (x << jnp.uint64(32)) | (x >> jnp.uint64(32))
+
+
+def derive_tw(sw):
+    """Device: tw[i] = complement of 2-bit-group-reversed sw[i].
+
+    sw is big-endian per word (base b at bits 62-2b..63-2b); tw is the
+    complemented stream little-endian per word (base b at bits 2b..2b+1).
+    Reversing the order of the 32 2-bit groups maps one to the other, and
+    3-v == ~v in 2 bits, so: tw = ~group_reverse(sw)."""
+    return ~grev64(sw)
 
 
 def expand_bits(words, C: int):

@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.packed import (derive_tw, div_mod_owner, mod_is_zero, pack_bits,
-                          pack_sw)
+from ..ops.packed import (derive_tw, div_mod_owner, grev64, mod_is_zero,
+                          pack_bits, pack_sw)
 
 try:
     def shard_map(f, mesh, in_specs, out_specs):
@@ -399,20 +399,13 @@ def _grab_rows(klo, khi, pos, idx, live, *, k, nb, bo):
     return out_k, out_p
 
 
-def _compact_blocks_gather(kmers, pos, emit, *, k, C, bo):
-    """Gather-based compaction: instead of materializing the C*bo one-hot
-    cube (the step's dominant HBM traffic), find the j-th emit's in-block
-    index by binary search on the inclusive cumsum (10 rounds of [nb, bo]
-    take_along_axis probes) and gather the u32 planes directly.  Bit-
-    identical rows/slots/sentinels to the one-hot backends."""
-    nb = C // BLK
-    klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
-    e2 = emit.reshape(nb, BLK)
-    csum = _block_csum(e2, nb)
-    cnts = csum[:, -1]
+def _rank_bs(csum, bo):
+    """In-block index of the j-th emit (j = 0..bo-1) by binary search on
+    the inclusive cumsum: smallest p with csum[p] >= j+1 (emits have
+    csum[p] == csum[p-1]+1 so the hit is exact).  Returns (target, idx);
+    dead slots (target > block count) settle at BLK-1."""
+    nb = csum.shape[0]
     target = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) + 1
-    # binary search: smallest p with csum[p] >= target (the j-th emit's
-    # position; emits have csum[p] == csum[p-1]+1 so the hit is exact)
     lo = jnp.zeros((nb, bo), jnp.int32)
     hi = jnp.full((nb, bo), BLK - 1, jnp.int32)
     for _ in range(BLK.bit_length() - 1):          # 10 rounds for BLK 1024
@@ -421,30 +414,88 @@ def _compact_blocks_gather(kmers, pos, emit, *, k, C, bo):
         ge = cm >= target
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid + 1)
-    live = target <= cnts[:, None]
-    out_k, out_p = _grab_rows(klo, khi, pos, hi, live, k=k, nb=nb, bo=bo)
-    n_emit = jnp.sum(emit).astype(jnp.int64)
-    return out_k, out_p, n_emit, jnp.any(cnts > bo)
+    return target, hi
 
 
-def _compact_blocks_searchcmp(kmers, pos, emit, *, k, C, bo):
-    """Cube-free compaction, rank by fused compare-reduce: the j-th emit's
-    in-block index is |{p : csum[p] < j+1}| — a broadcast compare over
-    [nb, bo, BLK] that XLA fuses into the reduction (the csum row is
-    VMEM-resident per block, so unlike the one-hot cube nothing this size
-    touches HBM).  Same take_along_axis tail as the gather backend;
-    bit-identical rows/slots/sentinels to the one-hot backends."""
+def _rank_cmp(csum, bo):
+    """In-block index of the j-th emit by fused compare-reduce:
+    idx = |{p : csum[p] < j+1}| — a broadcast compare over [nb, bo, BLK]
+    that XLA fuses into the reduction (csum rows stay VMEM-resident, so
+    nothing cube-sized touches HBM).  Same contract as _rank_bs."""
+    nb = csum.shape[0]
+    target = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) + 1
+    idx = jnp.sum((csum[:, None, :] < target[:, :, None]).astype(jnp.int32),
+                  axis=2)
+    return target, jnp.minimum(idx, BLK - 1)   # dead slots clamp
+
+
+def _compact_blocks_gather(kmers, pos, emit, *, k, C, bo, cmp_rank=False):
+    """Cube-free compaction: instead of materializing the C*bo one-hot
+    cube (the step's dominant HBM traffic), rank emits in-block (binary
+    search on the cumsum, or compare-reduce with cmp_rank — the
+    'searchcmp' backend name) and gather the u32 planes directly.  Bit-
+    identical rows/slots/sentinels to the one-hot backends."""
     nb = C // BLK
     klo, khi, pos, emit = _stage_fronts(kmers, pos, emit, k)
     e2 = emit.reshape(nb, BLK)
     csum = _block_csum(e2, nb)
     cnts = csum[:, -1]
-    target = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) + 1
-    idx = jnp.sum((csum[:, None, :] < target[:, :, None]).astype(jnp.int32),
-                  axis=2)
-    idx = jnp.minimum(idx, BLK - 1)   # dead slots (target > count) clamp
+    target, idx = (_rank_cmp if cmp_rank else _rank_bs)(csum, bo)
     live = target <= cnts[:, None]
     out_k, out_p = _grab_rows(klo, khi, pos, idx, live, k=k, nb=nb, bo=bo)
+    n_emit = jnp.sum(emit).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
+
+
+def _compact_blocks_posgather(sw, emit, *, k, factor1, C, bo, posmajor,
+                              meta_isf, cmp_rank=False):
+    """Sparse-rematerializing compaction: the scan front materializes ONLY
+    the emit bitmask (1 B/position) — no kmer/pos/isF planes (16 B/position
+    in every other backend) and no one-hot cube.  After ranking emits
+    in-block, the k-mer at each emitted position is re-derived from the
+    packed stream words themselves: 2 u64 gathers into sw (4 MB,
+    cache-resident) + the same funnel shift as the front, the RC k-mer by
+    2-bit-group reversal + complement (revcomp(x) == ~grev64(x << (64-2k))
+    & mask), and both hashes recomputed on the [nb, bo] emit set (~1/w of
+    positions).  Bit-identical to the one-hot backends by construction:
+    the funnel/hash math is the front's own (seqhash.h:58 semantics).
+
+    `posmajor` tells how block-flat indices map to stream positions
+    (contiguous blocks vs the phase-major stride-32 layout)."""
+    nb = C // BLK
+    NW = C // 32
+    emit = jax.lax.optimization_barrier(emit)
+    e2 = emit.reshape(nb, BLK)
+    csum = _block_csum(e2, nb)
+    cnts = csum[:, -1]
+    target, idx = (_rank_cmp if cmp_rank else _rank_bs)(csum, bo)
+    live = target <= cnts[:, None]
+    f = (jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 0) * BLK + idx)
+    if posmajor:
+        gpos = f                                   # flat index IS position
+    else:
+        gpos = 32 * (f % NW) + f // NW             # [32, NW] phase-major
+    i = gpos >> 5
+    w0 = sw[i]
+    w1 = sw[i + 1]
+    sh = (jnp.uint64(2) * (gpos & 31).astype(jnp.uint64))
+    sh_s = jnp.maximum(sh, jnp.uint64(1))          # no undefined >>64
+    hs = jnp.where(sh == 0, w0,
+                   (w0 << sh) | (w1 >> (jnp.uint64(64) - sh_s)))
+    shift1 = jnp.uint64(64 - 2 * k)
+    mask2k = jnp.uint64((1 << (2 * k)) - 1)
+    h = hs >> shift1
+    hrc = (~grev64(h << shift1)) & mask2k
+    f1_ = jnp.uint64(factor1)
+    hf = (h * f1_) >> shift1
+    hr = (hrc * f1_) >> shift1
+    isF = hf < hr
+    okmer = jnp.where(isF, h, hrc)
+    gp32 = gpos.astype(jnp.uint32)
+    if meta_isf:
+        gp32 = (gp32 << jnp.uint32(1)) | isF.astype(jnp.uint32)
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, gp32, jnp.uint32(0xFFFFFFFF)).reshape(-1)
     n_emit = jnp.sum(emit).astype(jnp.int64)
     return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
@@ -561,6 +612,14 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     if meta_isf:
         pos = (pos << jnp.uint32(1)) | isF.astype(jnp.uint32)
     emit = valid & mod_is_zero(hashes, w)
+    backend = backend or compact_backend_default()
+    if backend in ("posgather", "posgather_cmp"):
+        # kmers/pos/isF planes are dead code here (XLA DCE drops them):
+        # the backend re-derives rows from sw at emitted positions only
+        return _compact_blocks_posgather(
+            sw, emit.T if posmajor else emit, k=k, factor1=factor1, C=C,
+            bo=bo, posmajor=posmajor, meta_isf=meta_isf,
+            cmp_rank=backend.endswith("_cmp"))
     if posmajor:
         # position-major before blocking: compaction blocks become
         # contiguous position ranges and in-block one-hot ranks equal emit
@@ -569,7 +628,6 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
         # reordering.  Costs ~0.5 ms/2^24 on v5e; order-insensitive
         # consumers (the sharded route, which sorts anyway) skip it.
         kmers, pos, emit = kmers.T, pos.T, emit.T
-    backend = backend or compact_backend_default()
     if backend not in ("onehot", "onehot_i8", "twolevel", "twolevel_i8",
                        "gather", "searchcmp", "butterfly"):
         raise ValueError(f"unknown compaction backend {backend!r} "
@@ -582,7 +640,8 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     if backend == "gather":
         return _compact_blocks_gather(kmers, pos, emit, k=k, C=C, bo=bo)
     if backend == "searchcmp":
-        return _compact_blocks_searchcmp(kmers, pos, emit, k=k, C=C, bo=bo)
+        return _compact_blocks_gather(kmers, pos, emit, k=k, C=C, bo=bo,
+                                      cmp_rank=True)
     if backend == "butterfly":
         return _compact_blocks_butterfly(kmers, pos, emit, k=k, C=C, bo=bo)
     return _compact_blocks_onehot(kmers, pos, emit, k=k, C=C, bo=bo,

@@ -56,7 +56,8 @@ def rand_stream(rng, overflow_bias):
 
 
 BACKENDS = ["onehot", "onehot_i8", "twolevel", "twolevel_i8",
-            "butterfly", "gather", "searchcmp"]
+            "butterfly", "gather", "searchcmp", "posgather",
+            "posgather_cmp"]
 
 
 def trial_build(rng, trial):

@@ -76,7 +76,8 @@ def test_compact_backends_bit_identical(k, w, bo):
     vb = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
     ref = None
     for be in ["onehot", "onehot_i8", "twolevel", "twolevel_i8",
-               "butterfly", "gather", "searchcmp"]:
+               "butterfly", "gather", "searchcmp", "posgather",
+               "posgather_cmp"]:
         out = tuple(np.asarray(x) for x in _scan_compact_local(
             sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend=be))
         if ref is None:

@@ -90,3 +90,21 @@ def test_scan_stream_rows_in_stream_order():
     meta = np.asarray(sc._dispatch(codes, 0, 1 << 14)[1])
     live = meta[meta != 0xFFFFFFFF]
     assert np.all(np.diff(live.astype(np.int64)) > 0)
+
+
+@pytest.mark.parametrize("backend", ["posgather", "posgather_cmp"])
+def test_scan_kmers_posgather_backend(backend, monkeypatch):
+    """Sparse-rematerializing backends on the posmajor (stream-order)
+    path: _scan_chunk_kmers must match the host oracle exactly (order,
+    values) for k<=16 and k>16."""
+    monkeypatch.setenv("MODIMIZER_COMPACT", backend)
+    rng = np.random.default_rng(6)
+    for k, w in [(16, 16), (19, 31)]:
+        sh = Seqhash.create(k, w, 17)
+        codes, offsets = _mk(rng, 120, 50, 900)
+        host = ModimizerScanner(sh, host_threshold=1 << 62)
+        want = host.scan_kmers(codes, offsets)
+        dev = ModimizerScanner(sh, chunk=1 << 14, host_threshold=0)
+        got = dev.scan_kmers(codes, offsets)
+        assert dev.used_device
+        assert np.array_equal(got, want), (backend, k, w)
