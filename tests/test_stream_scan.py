@@ -165,3 +165,21 @@ def test_stream_scan_end_to_end_fasta(tmp_path):
     got = sc2.scan_kmers_batches(
         iter_fasta_batches(str(path), conv, seg_bytes=1 << 14))
     assert np.array_equal(want, got)
+
+
+def test_scan_kmers_batches_giant_read():
+    """A read longer than several chunks (carry buffer growth, chunk
+    windows that start and end mid-read) must match the one-shot scan."""
+    rng = np.random.default_rng(55)
+    sh = Seqhash.create(16, 16, 17)
+    lens = [300, 5 * (1 << 12) + 777, 200, 3 * (1 << 12), 90]
+    seqs = [rng.integers(0, 4, size=l).astype(np.uint8) for l in lens]
+    codes = np.concatenate(seqs)
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+
+    sc = ModimizerScanner(sh, chunk=1 << 12, host_threshold=0)
+    want = sc.scan_kmers(codes, offsets)
+    sc2 = ModimizerScanner(sh, chunk=1 << 12, host_threshold=0)
+    got = sc2.scan_kmers_batches(
+        [(s, np.array([0, len(s)], np.int64)) for s in seqs])
+    assert np.array_equal(want, got)
