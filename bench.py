@@ -108,7 +108,9 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     # one-time XLA compile (shape-keyed: a zeros chunk has the same shapes);
     # reported separately — every later chunk reuses the executable
     t0 = time.perf_counter()
-    wv = np.zeros(sc.chunk // 64, np.uint64)
+    # all-ones validity: warms the sparse-validity program (the one every
+    # long-read chunk uses; all-zero words would warm the dense fallback)
+    wv = np.full(sc.chunk // 64, 0xFFFFFFFFFFFFFFFF, np.uint64)
     warm = sc._dispatch_kmers(np.zeros(sc.chunk + K - 1, np.uint8), 0, wv)
     int(np.asarray(warm[1]))
     t_compile = time.perf_counter()

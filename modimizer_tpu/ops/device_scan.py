@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..parallel.sharded import BLK, _expand_valid, _scan_compact_core
+from .packed import expand_sparse_valid
 from .seqhash import BLK_COMPACT, scan_bo  # noqa: F401  (re-export)
 
 assert BLK_COMPACT == BLK  # keep the jax-free mirror honest
@@ -78,10 +79,7 @@ def _densify(out_k, out_meta, bo, cap):
                          (sent_k, jnp.uint32(0xFFFFFFFF)))
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "w", "factor1", "bo", "cap",
-                                    "front"))
-def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap, front=None):
+def _scan_kmers_body(sw, vbits, *, k, w, factor1, bo, cap, front=None):
     """Kmers-only scan chunk for table builds (modutils -a / bench e2e).
 
     Validity (read boundaries + tail) rides as packed bits (1/8 B/base up),
@@ -107,6 +105,28 @@ def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap, front=None):
     overflow = overflow | (n_emit > cap)
     total = jnp.where(overflow, jnp.int32(-1), n_emit.astype(jnp.int32))
     return out_k, total
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "bo", "cap",
+                                    "front"))
+def _scan_chunk_kmers(sw, vbits, *, k, w, factor1, bo, cap, front=None):
+    return _scan_kmers_body(sw, vbits, k=k, w=w, factor1=factor1, bo=bo,
+                            cap=cap, front=front)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "bo", "cap",
+                                    "front"))
+def _scan_chunk_kmers_sparse(sw, sv_idx, sv_val, m, *, k, w, factor1, bo,
+                             cap, front=None):
+    """_scan_chunk_kmers with the validity plane shipped as a sorted
+    sparse exception list + live count m instead of dense words (~8x
+    fewer upload bytes; see ops/packed.expand_sparse_valid)."""
+    C = 32 * (sw.shape[0] - 2)
+    vbits = expand_sparse_valid(sv_idx, sv_val, m, C // 64)
+    return _scan_kmers_body(sw, vbits, k=k, w=w, factor1=factor1, bo=bo,
+                            cap=cap, front=front)
 
 
 @functools.partial(jax.jit,

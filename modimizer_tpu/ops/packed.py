@@ -34,6 +34,37 @@ def pack_bits(mask: np.ndarray, n_words: int) -> np.ndarray:
     return b.reshape(-1, 8).view("<u8").astype(np.uint64).reshape(-1)
 
 
+def expand_sparse_valid(sv_idx, sv_val, m, NV: int):
+    """Device: rebuild [NV] u64 validity words from a sorted sparse
+    exception list — word i = sv_val[j] where sv_idx[j] == i, else
+    all-ones — then clear every bit at position >= m (the chunk's live
+    count).  Validity words are almost all ones (exceptions only where a
+    read ends), so shipping (idx, val) pairs instead of the dense plane
+    cuts the host->device bytes ~8x; this expansion is log2(P) gather
+    rounds over [NV], trivially cheap next to the scan itself.
+
+    sv_idx: i32 [P] sorted, padded with a value >= NV.  sv_val: u64 [P]."""
+    P = sv_idx.shape[0]
+    base = jnp.arange(NV, dtype=jnp.int32)
+    lo = jnp.zeros(NV, jnp.int32)
+    hi = jnp.full(NV, P - 1, jnp.int32)
+    for _ in range(max(1, (P - 1).bit_length())):   # smallest j with
+        mid = (lo + hi) >> 1                        # sv_idx[j] >= base
+        ge = sv_idx[mid] >= base
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    full = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    v = jnp.where(sv_idx[hi] == base, sv_val[hi], full)
+    m = m.astype(jnp.int32)
+    nfull = m >> 5 >> 1                             # m // 64
+    rem = (m & 63).astype(jnp.uint64)
+    tail = jnp.where(base < nfull, full,
+                     jnp.where(base == nfull,
+                               (jnp.uint64(1) << rem) - jnp.uint64(1),
+                               jnp.uint64(0)))
+    return v & tail
+
+
 def grev64(x):
     """Device: reverse the order of the 32 2-bit groups in each u64."""
     m2 = jnp.uint64(0x3333333333333333)

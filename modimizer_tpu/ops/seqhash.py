@@ -141,6 +141,13 @@ class ModimizerScanner:
         # force a front per scanner instance instead of per process
         import os
         self.front = os.environ.get("MODIMIZER_FRONT") or None
+        # sparse-validity upload: validity words are ~all-ones except at
+        # read ends, so ship (idx, val) exceptions + the live count and
+        # expand on device — ~8x fewer validity bytes up the (congested)
+        # link.  Dense fallback when exceptions overflow the pad budget
+        # (short-read-dominated chunks) or MODIMIZER_DENSE_VALID=1.
+        self.sparse_cap = max(4096, self.chunk // 512)
+        self.dense_valid = bool(os.environ.get("MODIMIZER_DENSE_VALID"))
 
     def _dispatch(self, codes: np.ndarray, s: int, m: int,
                   wide: bool = False):
@@ -179,22 +186,41 @@ class ModimizerScanner:
         cap = int(min((self.chunk // BLK_COMPACT) * bo, self.cap * 4))
         return bo, cap
 
+    def _dispatch_sw(self, sw: np.ndarray, vw: np.ndarray, m: int,
+                     wide: bool = False):
+        """Dispatch one packed chunk (sw incl. halo words, vw = [C/64]
+        validity words, m = live positions <= C), shipping validity as a
+        sparse exception list when it fits the pad budget."""
+        import jax.numpy as jnp
+        from .device_scan import _scan_chunk_kmers, _scan_chunk_kmers_sparse
+        bo, cap = self._wide() if wide else (self.bo, self.cap)
+        kw = dict(k=self.sh.k, w=self.sh.w, factor1=self.sh.factor1,
+                  bo=bo, cap=cap, front=self.front)
+        if not self.dense_valid:
+            nv_m = (m + 63) // 64
+            head = vw[:nv_m]
+            nz = np.flatnonzero(head != np.uint64(0xFFFFFFFFFFFFFFFF))
+            P = self.sparse_cap
+            if len(nz) <= P:
+                sv_idx = np.full(P, len(vw), np.int32)
+                sv_idx[:len(nz)] = nz
+                sv_val = np.zeros(P, np.uint64)
+                sv_val[:len(nz)] = head[nz]
+                return _scan_chunk_kmers_sparse(
+                    jnp.asarray(sw), jnp.asarray(sv_idx),
+                    jnp.asarray(sv_val), jnp.int32(m), **kw)
+        return _scan_chunk_kmers(jnp.asarray(sw), jnp.asarray(vw), **kw)
+
     def _dispatch_kmers(self, codes: np.ndarray, s: int, vwords: np.ndarray,
                         wide: bool = False):
-        import jax.numpy as jnp
-        from .device_scan import _scan_chunk_kmers
         k = self.sh.k
         C = self.chunk
-        bo, cap = self._wide() if wide else (self.bo, self.cap)
         with profiling.stage("scan.pack"):
             seg = codes[s:s + C + k - 1]
             sw = self._pack_native(seg, C // 32 + 2)
         with profiling.stage("scan.dispatch"):
-            return _scan_chunk_kmers(
-                jnp.asarray(sw),
-                jnp.asarray(vwords[s // 64:s // 64 + C // 64]),
-                k=k, w=self.sh.w, factor1=self.sh.factor1, bo=bo,
-                cap=cap, front=self.front)
+            return self._dispatch_sw(sw, vwords[s // 64:s // 64 + C // 64],
+                                     min(C, len(codes) - s), wide)
 
     def scan_kmers(self, codes: np.ndarray, offsets: np.ndarray,
                    consumer=None):
@@ -300,8 +326,6 @@ class ModimizerScanner:
         continuing past the window clears only halo bits the chunk never
         uses).  Returns total emits (consumer mode) or the concatenated
         kmers array."""
-        import jax.numpy as jnp
-        from .device_scan import _scan_chunk_kmers
         from ..native import lib as native_lib
         sh = self.sh
         k = sh.k
@@ -332,16 +356,13 @@ class ModimizerScanner:
             return vw[:NWV]
 
         def dispatch(sa, wide=False):
-            bo, cap = self._wide() if wide else (self.bo, self.cap)
             rel = sa - base
             seg = buf[rel:rel + C + halo]
             with profiling.stage("scan.pack"):
                 sw = self._pack_native(seg, C // 32 + 2)
                 vb = win_valid(sa, len(seg))
             with profiling.stage("scan.dispatch"):
-                return _scan_chunk_kmers(jnp.asarray(sw), jnp.asarray(vb),
-                                         k=k, w=sh.w, factor1=sh.factor1,
-                                         bo=bo, cap=cap, front=self.front)
+                return self._dispatch_sw(sw, vb, min(C, len(seg)), wide)
 
         def rescan_window(sa):
             # exact host fallback on the chunk window (clipping argument:

@@ -108,3 +108,60 @@ def test_scan_kmers_posgather_backend(backend, monkeypatch):
         got = dev.scan_kmers(codes, offsets)
         assert dev.used_device
         assert np.array_equal(got, want), (backend, k, w)
+
+
+def test_sparse_validity_paths_identical():
+    """Sparse exception-list validity upload vs dense words: same rows,
+    same overflow behavior, across tail chunks and a tiny sparse budget
+    (forcing the dense fallback)."""
+    sh = Seqhash.create(16, 16, 17)
+    rng = np.random.default_rng(8)
+    codes, offsets = _mk(rng, 200, 50, 900)
+
+    dense = ModimizerScanner(sh, chunk=1 << 13, host_threshold=0)
+    dense.dense_valid = True
+    want = dense.scan_kmers(codes, offsets)
+
+    sparse = ModimizerScanner(sh, chunk=1 << 13, host_threshold=0)
+    assert not sparse.dense_valid
+    got = sparse.scan_kmers(codes, offsets)
+    assert np.array_equal(want, got)
+
+    tiny = ModimizerScanner(sh, chunk=1 << 13, host_threshold=0)
+    tiny.sparse_cap = 1          # everything overflows into dense
+    got2 = tiny.scan_kmers(codes, offsets)
+    assert np.array_equal(want, got2)
+
+    # streaming path rides the same dispatcher
+    stream = ModimizerScanner(sh, chunk=1 << 13, host_threshold=0)
+    got3 = stream.scan_kmers_batches([(codes, offsets)])
+    assert np.array_equal(want, got3)
+
+
+def test_expand_sparse_valid_matches_dense():
+    """Device expansion == the native dense plane for random read layouts
+    and live counts (incl. m on/off word boundaries, zero exceptions)."""
+    import jax.numpy as jnp
+    from modimizer_tpu.native import lib as native_lib
+    from modimizer_tpu.ops.packed import expand_sparse_valid
+    L = native_lib()
+    rng = np.random.default_rng(9)
+    k = 16
+    for m in (64 * 7, 64 * 7 - 5, 64 * 3 + 1, 1):
+        NV = 8
+        lens = rng.integers(20, 120, 12)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+        offsets = np.clip(offsets, 0, m)
+        vw = np.zeros(NV, np.uint64)
+        L.pk_valid_words(offsets, len(offsets) - 1, m, k, vw, NV)
+        nv_m = (m + 63) // 64
+        head = vw[:nv_m]
+        nz = np.flatnonzero(head != np.uint64(0xFFFFFFFFFFFFFFFF))
+        P = 16
+        sv_idx = np.full(P, NV, np.int32)
+        sv_idx[:len(nz)] = nz
+        sv_val = np.zeros(P, np.uint64)
+        sv_val[:len(nz)] = head[nz]
+        got = np.asarray(expand_sparse_valid(
+            jnp.asarray(sv_idx), jnp.asarray(sv_val), jnp.int32(m), NV))
+        assert np.array_equal(got, vw), m
