@@ -218,18 +218,30 @@ def main():
     # must not leave the round with no benchmark artifact at all.
     import subprocess
     budget = int(os.environ.get("MODIMIZER_BENCH_TIMEOUT", "3000"))
-    try:
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--tpu-child"],
-            timeout=budget, capture_output=True, text=True)
+    deadline = time.monotonic() + budget
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+                timeout=max(60, deadline - time.monotonic()),
+                capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            log(f"tpu child exceeded the {budget}s budget (tunnel hang?); "
+                "host fallback")
+            break
         line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
         sys.stderr.write(r.stderr)
         if r.returncode == 0 and line:
             print(line[-1])
             return
-        log(f"tpu child failed (rc {r.returncode}); host fallback")
-    except subprocess.TimeoutExpired:
-        log(f"tpu child exceeded {budget}s (tunnel hang?); host fallback")
+        # init failures are usually tunnel flaps: retry inside the budget
+        log(f"tpu child attempt {attempt} failed (rc {r.returncode})")
+        if time.monotonic() + 120 > deadline:
+            break
+        time.sleep(60)
+    log("host fallback")
     ours = host_rate(fa)
     print(json.dumps({"metric": "modset_build_kmer_throughput",
                       "value": round(ours, 1),

@@ -97,50 +97,45 @@ class Readset:
     # ---------------- construction ----------------
 
     def file_read(self, filename) -> None:
-        """readsetFileRead (modasm.c:151-191): device scan + batched lookup."""
+        """readsetFileRead (modasm.c:151-191): scan + batched lookup + one
+        fused native assembly pass (hits/dx/counts/depth — the numpy
+        version's temporaries cost ~3x the whole reference command)."""
         from ..io import seqio
         ms = self.ms
         batch, _t = seqio.read_seq_file(filename, seqio.dna2index_n0(),
                                         is_qual=False, want_ids=False)
+        offsets = np.ascontiguousarray(batch.offsets, np.int64)
         scanner = ModimizerScanner(ms.hasher)
-        kmers, rid, rpos, isF = scanner.scan_batch(batch)
+        kmers, gpos, isF = scanner.scan_stream(batch.codes, offsets)
         sidx = ms.find_batch(kmers)
-        found = sidx != 0
 
         n = batch.n
         self.n_reads = n + 1
         self.len = np.concatenate(
             [[0], batch.lengths]).astype(np.int32)
         self.n_hit = np.zeros(n + 1, np.int32)
-        self.n_hit[1:] = np.bincount(rid[found], minlength=n)
         self.n_miss = np.zeros(n + 1, np.int32)
-        self.n_miss[1:] = np.bincount(rid[~found], minlength=n)
         self.bad = np.zeros(n + 1, np.uint8)
         self.other_flags = np.zeros(n + 1, np.uint8)
         self.contained = np.zeros(n + 1, np.int32)
         self.n_copy = np.zeros((n + 1, 4), np.int32)
 
-        fidx = sidx[found]
-        fpos = rpos[found]
-        self.hits = np.where(isF[found], fidx | TOPBIT, fidx).astype(np.uint32)
+        # hits (idx|TOPBIT·isF), dx (U16 gap, modasm.c:172), per-read
+        # hit/miss counts and the rebuilt saturating depth
+        # (modasm.c:158,174) in one native pass over the emit stream
+        hits = np.empty(len(gpos), np.uint32)
+        dx = np.empty(len(gpos), np.uint16)
+        ms.depth[:] = 0
+        tot = int(native_lib().rs_hits_from_scan(
+            np.ascontiguousarray(gpos, np.int64),
+            np.ascontiguousarray(isF).view(np.uint8),
+            np.ascontiguousarray(sidx, np.uint32), len(gpos), offsets, n,
+            hits, dx, self.n_hit, self.n_miss, ms.depth))
+        self.hits = hits[:tot]
+        self.dx = dx[:tot]
+        self.tot_hit = tot
         self.hit_off = np.zeros(n + 2, np.int64)
         self.hit_off[2:] = np.cumsum(self.n_hit[1:])
-        # dx = gap to the previous found hit within the read (modasm.c:172);
-        # lastPos starts at 0 per read, so the first hit's dx is its position
-        prev = np.zeros(len(fpos), np.int64)
-        prev[1:] = fpos[:-1]
-        first = np.zeros(len(fpos), bool)
-        starts = self.hit_off[1:-1][self.n_hit[1:] > 0]
-        first[starts] = True
-        dx = np.where(first, fpos, fpos - prev)
-        self.dx = dx.astype(np.uint16)
-        self.tot_hit = int(found.sum())
-
-        # depth rebuilt from this file, saturating U16 (modasm.c:158,174)
-        depth = np.bincount(fidx, minlength=ms.max + 1)
-        ms.depth[:] = 0
-        ms.depth[:ms.max + 1] = np.minimum(depth[:ms.max + 1],
-                                           U16MAX).astype(np.uint16)
         self.reads_dim = _grow_dim(INITIAL_DIM, n)
         alloc.add(self.hits.nbytes + self.dx.nbytes)
         self.inv_build()

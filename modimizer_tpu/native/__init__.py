@@ -144,6 +144,11 @@ def _declare(L):
     L.sh_scan_emit_reads.argtypes = [u8p, i64p, c.c_int64, c.c_int,
                                      c.c_uint64, c.c_uint64, c.c_int, u64p,
                                      i64p, u8p, c.c_int64]
+    L.rs_hits_from_scan.restype = c.c_int64
+    L.rs_hits_from_scan.argtypes = [i64p, u8p, u32p, c.c_int64, i64p,
+                                    c.c_int64, u32p, u16p, i32p, i32p, u16p]
+    L.sh_rid_rpos.restype = None
+    L.sh_rid_rpos.argtypes = [i64p, c.c_int64, i64p, c.c_int64, i64p, i64p]
     i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     L.pk_pack2.restype = None

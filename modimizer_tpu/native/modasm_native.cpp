@@ -322,6 +322,56 @@ static inline int *readNCopy(const RSView *v, I64 i) {
 }
 
 // ------------------------------------------------------------------
+// readsetFileRead hit assembly (modasm.c:158-177): one pass over the
+// scan's (global pos, isF) stream + the table lookup results, producing
+// hits (idx | TOPBIT*isF), dx (U16 gap to the previous found hit in the
+// read; first hit's dx is its read position), per-read hit/miss counts,
+// and the rebuilt saturating U16 depth.  Replaces a pile of numpy
+// temporaries (searchsorted + repeats + bincounts) that dominated
+// modasm -f's runtime.  Returns the number of found hits.
+// ------------------------------------------------------------------
+
+extern "C" I64 rs_hits_from_scan(const I64 *gpos, const U8 *isF,
+                                 const U32 *sidx, I64 n, const I64 *offsets,
+                                 I64 nReads, U32 *hits, U16 *dx,
+                                 int *nHit, int *nMiss, U16 *depth) {
+  I64 o = 0, r = 0, lastPos = 0;
+  for (I64 i = 0; i < n; ++i) {
+    while (r < nReads && gpos[i] >= offsets[r + 1]) {
+      ++r;
+      lastPos = 0;
+    }
+    I64 rpos = gpos[i] - offsets[r];
+    U32 idx = sidx[i];
+    if (idx) {
+      hits[o] = idx | (isF[i] ? 0x80000000u : 0u);
+      dx[o] = (U16)(rpos - lastPos);
+      lastPos = rpos;
+      ++o;
+      ++nHit[r + 1];
+      U32 d = (U32)depth[idx] + 1u;
+      depth[idx] = d > 0xFFFFu ? (U16)0xFFFF : (U16)d;
+    } else {
+      ++nMiss[r + 1];
+    }
+  }
+  return o;
+}
+
+// Map ascending global emit positions to (read id, read-relative pos) in
+// one walk — replaces numpy searchsorted + two np.repeat temporaries in
+// ModimizerScanner.scan_batch.
+extern "C" void sh_rid_rpos(const I64 *gpos, I64 n, const I64 *offsets,
+                            I64 nReads, I64 *rid, I64 *rpos) {
+  I64 r = 0;
+  for (I64 i = 0; i < n; ++i) {
+    while (r < nReads && gpos[i] >= offsets[r + 1]) ++r;
+    rid[i] = r;
+    rpos[i] = gpos[i] - offsets[r];
+  }
+}
+
+// ------------------------------------------------------------------
 // invBuild (modasm.c:258-287)
 // ------------------------------------------------------------------
 

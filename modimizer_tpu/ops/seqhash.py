@@ -550,15 +550,17 @@ class ModimizerScanner:
 
     def scan_batch(self, batch):
         """Scan a SeqBatch; returns (kmers, read_ids, read_pos, isF)."""
-        offsets = np.asarray(batch.offsets, np.int64)
+        from ..native import lib as native_lib
+        offsets = np.ascontiguousarray(batch.offsets, np.int64)
         kmers, gpos, isF = self.scan_stream(batch.codes, offsets)
-        # gpos is ascending (stream order), so search the 4k read starts
-        # into the 3M positions instead of the reverse
-        starts = np.searchsorted(gpos, offsets)
-        counts = np.diff(starts)
-        rid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-        rpos = gpos - np.repeat(offsets[:-1], counts)
-        return kmers, rid, rpos.astype(np.int64), isF
+        # gpos is ascending (stream order): one native walk beats
+        # searchsorted + two np.repeat temporaries
+        gpos = np.ascontiguousarray(gpos, np.int64)
+        rid = np.empty(len(gpos), np.int64)
+        rpos = np.empty(len(gpos), np.int64)
+        native_lib().sh_rid_rpos(gpos, len(gpos), offsets,
+                                 len(offsets) - 1, rid, rpos)
+        return kmers, rid, rpos, isF
 
 
 def first_encounter_unique(kmers: np.ndarray):
