@@ -71,12 +71,49 @@ def _densify_cols(cols, live, bo, cap, sentinels):
                  for c, s in zip(cols, sentinels))
 
 
+def _densify_cols_search(cols, live, bo, cap, sentinels):
+    """Search-based densify: compaction backends emit each block's live
+    rows as a dense prefix (in-block ranks are 0..cnt-1), so dense row j
+    is simply block b = max{b : bases[b] <= j} at offset j - bases[b].
+    One binary search over the per-block exclusive counts (log2(nb) gather
+    rounds into a cache-resident [nb] table) + one gather per column —
+    replaces the 21-stage conditional-roll butterfly (rolls lower to
+    concat pairs on this toolchain, ~2x HBM traffic per stage).
+    Bit-identical output: same rows, same order, same sentinels."""
+    nb = live.shape[0] // bo
+    l2 = live.reshape(nb, bo)
+    per_blk = jnp.sum(l2.astype(jnp.int32), axis=1)
+    bases = jnp.cumsum(per_blk) - per_blk               # exclusive [nb]
+    j = jnp.arange(cap, dtype=jnp.int32)
+    lo = jnp.zeros(cap, jnp.int32)
+    hi = jnp.full(cap, nb - 1, jnp.int32)
+    for _ in range(max(1, (nb - 1).bit_length())):      # largest b with
+        mid = (lo + hi + 1) >> 1                        # bases[b] <= j
+        le = bases[mid] <= j
+        lo = jnp.where(le, mid, lo)
+        hi = jnp.where(le, hi, mid - 1)
+    src = jnp.minimum(lo * bo + (j - bases[lo]),
+                      jnp.int32(live.shape[0] - 1))
+    keep = j < jnp.sum(per_blk)
+    return tuple(jnp.where(keep, c[src], s)
+                 for c, s in zip(cols, sentinels))
+
+
+def _densify_dispatch(cols, live, bo, cap, sentinels):
+    """MODIMIZER_DENSIFY=roll restores the butterfly (read at trace time,
+    like the compaction backend knobs); default is the search densify."""
+    import os
+    if os.environ.get("MODIMIZER_DENSIFY") == "roll":
+        return _densify_cols(cols, live, bo, cap, sentinels)
+    return _densify_cols_search(cols, live, bo, cap, sentinels)
+
+
 def _densify(out_k, out_meta, bo, cap):
     live = out_meta != jnp.uint32(0xFFFFFFFF)
     sent_k = (jnp.uint32(0xFFFFFFFF) if out_k.dtype == jnp.uint32
               else jnp.uint64(0xFFFFFFFFFFFFFFFF))
-    return _densify_cols((out_k, out_meta), live, bo, cap,
-                         (sent_k, jnp.uint32(0xFFFFFFFF)))
+    return _densify_dispatch((out_k, out_meta), live, bo, cap,
+                            (sent_k, jnp.uint32(0xFFFFFFFF)))
 
 
 def _scan_kmers_body(sw, vbits, *, k, w, factor1, bo, cap, front=None):
@@ -101,7 +138,7 @@ def _scan_kmers_body(sw, vbits, *, k, w, factor1, bo, cap, front=None):
     sent_k = (jnp.uint32(0xFFFFFFFF) if k <= 16
               else jnp.uint64(0xFFFFFFFFFFFFFFFF))
     cap = min(cap, out_k.shape[0])
-    (out_k,) = _densify_cols((out_k,), live, bo, cap, (sent_k,))
+    (out_k,) = _densify_dispatch((out_k,), live, bo, cap, (sent_k,))
     overflow = overflow | (n_emit > cap)
     total = jnp.where(overflow, jnp.int32(-1), n_emit.astype(jnp.int32))
     return out_k, total

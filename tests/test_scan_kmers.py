@@ -165,3 +165,34 @@ def test_expand_sparse_valid_matches_dense():
         got = np.asarray(expand_sparse_valid(
             jnp.asarray(sv_idx), jnp.asarray(sv_val), jnp.int32(m), NV))
         assert np.array_equal(got, vw), m
+
+
+def test_densify_search_equals_roll(monkeypatch):
+    """Search-based densify vs the roll butterfly: bit-identical chunk
+    outputs (kmers path and meta path) on multi-chunk streams."""
+    import jax.numpy as jnp
+    from modimizer_tpu.ops.device_scan import _scan_chunk
+    from modimizer_tpu.ops.packed import pack_sw
+    sh = Seqhash.create(16, 16, 17)
+    rng = np.random.default_rng(10)
+    codes, offsets = _mk(rng, 150, 50, 900)
+
+    outs = {}
+    for mode in ("search", "roll"):
+        monkeypatch.setenv("MODIMIZER_DENSIFY", mode)
+        sc = ModimizerScanner(sh, chunk=1 << 13, host_threshold=0)
+        outs[mode] = sc.scan_kmers(codes, offsets)
+        # meta path (scan_stream's per-chunk program)
+        C = 1 << 13
+        sw = jnp.asarray(pack_sw(codes[:C + 15].view(np.uint8), C // 32 + 2))
+        km, meta, tot = _scan_chunk(sw, jnp.int32(C), k=16, w=16,
+                                    factor1=sh.factor1, bo=112, cap=1024)
+        outs[mode + "_meta"] = (np.asarray(km), np.asarray(meta),
+                                int(tot))
+        import modimizer_tpu.ops.device_scan as ds
+        ds._scan_chunk.clear_cache()
+        ds._scan_chunk_kmers.clear_cache()
+        ds._scan_chunk_kmers_sparse.clear_cache()
+    assert np.array_equal(outs["search"], outs["roll"])
+    for a, b in zip(outs["search_meta"], outs["roll_meta"]):
+        assert np.array_equal(a, b)
