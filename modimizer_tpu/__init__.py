@@ -64,4 +64,29 @@ def configure_jax():
         pass
     _jax_configured = True
 
+
+def _prime_bytecode():
+    """One-time self-prime of __pycache__: this image sets
+    PYTHONDONTWRITEBYTECODE=1, so without this every CLI invocation
+    re-compiles the package sources (~0.2 s of the ~0.33 s start).
+    py_compile writes atomically; existing caches are respected, so this
+    is a no-op after the first run."""
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    if os.path.isdir(os.path.join(pkg, "cli", "__pycache__")):
+        return
+
+    def work():
+        try:
+            import compileall
+            compileall.compile_dir(pkg, quiet=2, workers=1)
+        except Exception:
+            pass
+    import threading
+    # non-daemon: joined at interpreter exit, so even a usage-error run
+    # finishes priming (~0.5 s, once per checkout)
+    threading.Thread(target=work, daemon=False).start()
+
+
+_prime_bytecode()
+
 __version__ = "0.1.0"
