@@ -65,28 +65,28 @@ def configure_jax():
     _jax_configured = True
 
 
-def _prime_bytecode():
-    """One-time self-prime of __pycache__: this image sets
-    PYTHONDONTWRITEBYTECODE=1, so without this every CLI invocation
-    re-compiles the package sources (~0.2 s of the ~0.33 s start).
-    py_compile writes atomically; existing caches are respected, so this
-    is a no-op after the first run."""
-    pkg = os.path.dirname(os.path.abspath(__file__))
-    if os.path.isdir(os.path.join(pkg, "cli", "__pycache__")):
-        return
+def _enable_bytecode_cache():
+    """This image sets PYTHONDONTWRITEBYTECODE=1, so every CLI run
+    re-compiles every .py it imports — ours AND the venv's 300+
+    non-precompiled numpy modules (~0.2 s of the ~0.33 s interpreter
+    start the C binaries don't pay).  The venv is not ours to write, so
+    redirect the bytecode cache into the repo (sys.pycache_prefix) and
+    re-enable writing for everything imported after this point: the
+    first run pays the compiles, every later start skips them.
+    Writes are atomic (importlib _write_atomic), so concurrent CLI
+    processes can prime the same cache safely."""
+    import sys
+    try:
+        if sys.pycache_prefix is None and sys.dont_write_bytecode:
+            d = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".pycache")
+            os.makedirs(d, exist_ok=True)
+            sys.pycache_prefix = d
+            sys.dont_write_bytecode = False
+    except Exception:  # pragma: no cover - read-only checkout etc.
+        pass
 
-    def work():
-        try:
-            import compileall
-            compileall.compile_dir(pkg, quiet=2, workers=1)
-        except Exception:
-            pass
-    import threading
-    # non-daemon: joined at interpreter exit, so even a usage-error run
-    # finishes priming (~0.5 s, once per checkout)
-    threading.Thread(target=work, daemon=False).start()
 
-
-_prime_bytecode()
+_enable_bytecode_cache()
 
 __version__ = "0.1.0"
