@@ -13,7 +13,7 @@ import numpy as np
 
 from ..io import seqio
 from ..io.carray import CArray, CDict
-from ..io.fzio import GzWriter, open_maybe_gz
+from ..io.fzio import GzWriter, read_maybe_gz
 from ..ops.seqhash import ModimizerScanner
 from .modset import Modset
 
@@ -122,7 +122,8 @@ class Reference:
     @classmethod
     def read(cls, root):
         ms = Modset.read(root + ".mod")
-        with open_maybe_gz(root + ".ref") as f:
+        import io
+        with io.BytesIO(read_maybe_gz(root + ".ref")) as f:
             magic = f.read(8)
             if magic != MAGIC:
                 raise ValueError("bad reference header")

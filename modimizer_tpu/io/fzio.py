@@ -7,9 +7,105 @@ exactly: header 1f 8b 08 00 <mtime=0> 00 <OS=3>, raw deflate at level 6,
 crc32 + isize trailer.
 """
 
+import os
 import zlib
 
 _GZ_HEADER = b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03"
+
+# ------------------------------------------------------------------
+# fast whole-buffer gzip decode (libdeflate when present, zlib fallback)
+#
+# Only the READ side may use libdeflate: decompression just has to produce
+# the right bytes, while the write side must emit zlib-level-6 streams
+# byte-identical to the reference's gzopen output (GzWriter below stays
+# zlib).  libdeflate's inflate measures 1.6-1.9x zlib on this host and
+# also handles multi-member streams (BGZF/BAM) in one pass — the same
+# reason htslib links it.
+# ------------------------------------------------------------------
+
+_LIBDEFLATE = None          # lazy: ctypes handle or False after first probe
+
+
+def _libdeflate():
+    global _LIBDEFLATE
+    if _LIBDEFLATE is None:
+        if os.environ.get("MODIMIZER_NO_LIBDEFLATE"):
+            _LIBDEFLATE = False
+        else:
+            try:
+                import ctypes
+                lib = ctypes.CDLL("libdeflate.so.0")
+                lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+                lib.libdeflate_free_decompressor.argtypes = [ctypes.c_void_p]
+                lib.libdeflate_gzip_decompress_ex.restype = ctypes.c_int
+                lib.libdeflate_gzip_decompress_ex.argtypes = [
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.POINTER(ctypes.c_size_t),
+                    ctypes.POINTER(ctypes.c_size_t)]
+                _LIBDEFLATE = lib
+            except OSError:
+                _LIBDEFLATE = False
+    return _LIBDEFLATE
+
+
+def _gz_decompress_zlib(data) -> bytearray:
+    """Multi-member gzip decode through zlib (fallback path)."""
+    out = bytearray()
+    view = memoryview(data)
+    while len(view):
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out += d.decompress(view)
+        view = memoryview(d.unused_data)
+        if not d.eof:
+            break  # truncated final member: return what zlib produced
+    return out
+
+
+def gz_decompress_all(data) -> bytearray:
+    """Decompress a whole gzip stream (any member count) to a bytearray.
+
+    ``data`` must be a writable buffer (bytearray / writable memoryview)
+    for the zero-copy libdeflate path; bytes inputs are copied once.
+    Falls back to zlib when libdeflate is absent or rejects the stream.
+    """
+    lib = _libdeflate()
+    if not lib:
+        return _gz_decompress_zlib(data)
+    import ctypes
+    if isinstance(data, bytes):
+        data = bytearray(data)
+    n = len(data)
+    inaddr = ctypes.addressof(ctypes.c_char.from_buffer(data))
+    # single-member files (everything gzopen writes) store the output
+    # size mod 2^32 in the ISIZE trailer; multi-member streams (BGZF)
+    # grow on demand below
+    cap = max(int.from_bytes(bytes(data[-4:]), "little"), 64)
+    out = bytearray(cap)
+    pos = wpos = 0
+    dec = lib.libdeflate_alloc_decompressor()
+    try:
+        ain = ctypes.c_size_t(0)
+        aout = ctypes.c_size_t(0)
+        while pos < n:
+            pin = ctypes.c_char.from_buffer(out)   # pin while libdeflate writes
+            r = lib.libdeflate_gzip_decompress_ex(
+                dec, inaddr + pos, n - pos,
+                ctypes.addressof(pin) + wpos, cap - wpos,
+                ctypes.byref(ain), ctypes.byref(aout))
+            del pin
+            if r == 3:  # LIBDEFLATE_INSUFFICIENT_SPACE: double and retry
+                cap = cap * 2 + 64
+                out += bytes(cap - len(out))
+                continue
+            if r != 0:  # bad data / truncated: let zlib produce the error
+                return _gz_decompress_zlib(data)
+            pos += ain.value
+            wpos += aout.value
+    finally:
+        lib.libdeflate_free_decompressor(dec)
+    del out[wpos:]
+    return out
 
 
 class GzWriter:
@@ -58,11 +154,14 @@ def read_maybe_gz(path) -> bytearray:
 
     Returns a writable bytearray so structure loaders (Modset.from_bytes)
     can wrap the payload without another whole-buffer copy."""
+    size = os.path.getsize(path)
+    data = bytearray(size)
     with open(path, "rb") as f:
-        data = f.read()
+        got = f.readinto(data)
+    del data[got:]
     if data[:2] == b"\x1f\x8b":
-        return bytearray(zlib.decompress(data, 16 + zlib.MAX_WBITS))
-    return bytearray(data)
+        return gz_decompress_all(data)
+    return data
 
 
 def open_maybe_gz(path):

@@ -24,7 +24,6 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .fzio import open_maybe_gz
 
 # ------------------------------------------------------------------
 # conversion tables (semantics of seqio.c:610-718)
@@ -478,15 +477,17 @@ def read_seq_file(filename, convert=None, is_qual=False, want_ids=True):
     dna2textAmbigConv (whitespace removal), FASTQ/binary stay raw text
     (seqio.c:49,76).  Returns (batch, file_type).
     """
+    from .fzio import gz_decompress_all
     if filename == "-":
         import sys
         data = sys.stdin.buffer.read()
         if data[:2] == b"\x1f\x8b":
-            import zlib
-            data = zlib.decompress(data, 16 + 15)
+            data = gz_decompress_all(data)
     else:
-        with open_maybe_gz(filename) as f:
-            data = f.read()
+        with open(filename, "rb") as f:
+            data = bytearray(f.read())
+        if data[:2] == b"\x1f\x8b":
+            data = gz_decompress_all(data)
     if not data:
         raise IOError(f"sequence file {filename} unreadable or empty")
     ftype = sniff_type(data[0])
