@@ -100,6 +100,30 @@ def test_iter_fasta_batches_equals_whole_parse(tmp_path, gz):
                           np.asarray(batch.offsets, np.int64))
 
 
+def test_gz_whole_decode_equals_streaming(tmp_path, monkeypatch):
+    """The libdeflate whole-buffer producer path and the zlib streaming
+    fallback (MODIMIZER_GZ_WHOLE_MAX=0) must yield identical batches."""
+    rng = np.random.default_rng(53)
+    _c, _o, seqs = _stream(rng, n_reads=200)
+    raw = b"".join(b">s%d\n" % i + s.tobytes().translate(
+        bytes.maketrans(bytes(range(4)), b"ACGT")) + b"\n"
+        for i, s in enumerate(seqs))
+    path = tmp_path / "r.fa.gz"
+    path.write_bytes(gzip.compress(raw))
+    conv = seqio.dna2index_n0()
+
+    def collect():
+        return [(cb.copy(), ob.copy()) for cb, ob in
+                iter_fasta_batches(str(path), conv, seg_bytes=1 << 13)]
+
+    whole = collect()
+    monkeypatch.setenv("MODIMIZER_GZ_WHOLE_MAX", "0")
+    streamed = collect()
+    assert len(whole) == len(streamed)
+    for (wc, wo), (sc, so) in zip(whole, streamed):
+        assert np.array_equal(wc, sc) and np.array_equal(wo, so)
+
+
 def test_iter_fasta_batches_rejects_non_fasta(tmp_path):
     p = tmp_path / "x.fq"
     p.write_bytes(b"@r1\nACGT\n+\nIIII\n")
