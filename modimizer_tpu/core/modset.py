@@ -257,10 +257,12 @@ class Modset:
             w.write(int(self.max + 1).to_bytes(4, "little"))
             w.write(b"SQHSHv2\x00")
             w.write(self.hasher.to_bytes())
-            w.write(self.index.tobytes())
-            w.write(self.value[:self.max + 1].tobytes())
-            w.write(self.depth[:self.max + 1].tobytes())
-            w.write(self.info[:self.max + 1].tobytes())
+            # contiguous 1-D slices pass to GzWriter as views (no tobytes
+            # copy — these are the multi-hundred-MB payloads)
+            w.write(self.index)
+            w.write(self.value[:self.max + 1])
+            w.write(self.depth[:self.max + 1])
+            w.write(self.info[:self.max + 1])
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "Modset":

@@ -314,12 +314,12 @@ class Readset:
             recs["nCopy"][:m] = self.n_copy
             f.write(_ARR_HDR.pack(ARRAY_MAGIC, 0, self.reads_dim,
                                   READ_DTYPE.itemsize, m))
-            f.write(recs.tobytes())
+            f.write(recs)
             for i in range(1, m):
                 a, b = self.hit_off[i], self.hit_off[i + 1]
                 if b > a:
-                    f.write(self.hits[a:b].tobytes())
-                    f.write(self.dx[a:b].tobytes())
+                    f.write(self.hits[a:b])
+                    f.write(self.dx[a:b])
 
     @classmethod
     def read(cls, root: str) -> "Readset":

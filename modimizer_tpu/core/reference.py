@@ -110,12 +110,12 @@ class Reference:
             f.write(MAGIC)
             f.write(int(self.max).to_bytes(4, "little"))
             f.write(int(self.max).to_bytes(4, "little"))
-            f.write(self.index[:self.max].tobytes())
-            f.write(self.offset[:self.max].tobytes())
-            f.write(self.id[:self.max].tobytes())
-            f.write(self.depth[:self.ms.max + 1].tobytes())
-            f.write(self.rev[:self.max].tobytes())
-            f.write(self.loc[:self.ms.max + 1].tobytes())
+            f.write(self.index[:self.max])
+            f.write(self.offset[:self.max])
+            f.write(self.id[:self.max])
+            f.write(self.depth[:self.ms.max + 1])
+            f.write(self.rev[:self.max])
+            f.write(self.loc[:self.ms.max + 1])
             self.len.write(f)
             self.dict.write(f)
 

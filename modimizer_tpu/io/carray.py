@@ -63,7 +63,7 @@ class CArray:
     def write(self, f):
         f.write(_ARR_HDR.pack(ARRAY_MAGIC, 0, self.dim, self.itemsize,
                               self.max))
-        f.write(self.data[:self.dim].tobytes())
+        f.write(self.data[:self.dim])
 
     @classmethod
     def read(cls, f, dtype=None):
@@ -167,7 +167,7 @@ class CDict:
     def write(self, f):
         f.write(int(self.dim).to_bytes(4, "little"))
         f.write(int(self.max).to_bytes(4, "little"))
-        f.write(self.table.tobytes())
+        f.write(self.table)
         f.write(b"\x00" * 8 * (self.max + 1))  # raw char* array: zeros
         for i in range(1, self.max + 1):
             b = self.names[i].encode("latin1")
