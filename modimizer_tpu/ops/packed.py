@@ -135,18 +135,39 @@ def _is_pow2(x):
     return x > 0 and (x & (x - 1)) == 0
 
 
+def _inv_odd(m, bits):
+    """Modular inverse of odd m mod 2^bits (Newton, exact Python ints)."""
+    x = m
+    for _ in range(6):
+        x = (x * (2 - m * x)) % (1 << bits)
+    return x
+
+
 def mod_is_zero(hashes, w):
-    """hashes % w == 0, with the common power-of-two w reduced to a 32-bit
-    mask (u64 modulo is emulated on the TPU VPU and costs ~20% of the whole
-    scan step)."""
+    """hashes % w == 0 without division.
+
+    Power-of-two w (the headline-bench w=16) is a mask test.  Any other w
+    (incl. the reference DEFAULT w=31, modutils.c:140) uses the
+    Lemire-Kaser divisibility test: for w = m * 2^t (m odd),
+    n % w == 0  <=>  ror(n * inv(m), t) <= (2^bits - 1) // w — one mullo,
+    a rotate, a compare.  u64 modulo is emulated on the TPU VPU and cost
+    ~20% of the whole scan step; a u64 mullo is 3-4 u32 mullos."""
     if hashes.dtype == jnp.uint32:      # u32 front (k <= 16): hash < 2^32
         if _is_pow2(w):
             return (hashes & jnp.uint32(w - 1)) == jnp.uint32(0)
-        return (hashes % jnp.uint32(w)) == jnp.uint32(0)
+        t = (w & -w).bit_length() - 1
+        prod = hashes * jnp.uint32(_inv_odd(w >> t, 32))
+        if t:
+            prod = (prod >> jnp.uint32(t)) | (prod << jnp.uint32(32 - t))
+        return prod <= jnp.uint32(((1 << 32) - 1) // w)
     if _is_pow2(w) and w <= (1 << 32):
         lo = (hashes & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
         return (lo & jnp.uint32(w - 1)) == jnp.uint32(0)
-    return (hashes % jnp.uint64(w)) == jnp.uint64(0)
+    t = (w & -w).bit_length() - 1
+    prod = hashes * jnp.uint64(_inv_odd(w >> t, 64))
+    if t:
+        prod = (prod >> jnp.uint64(t)) | (prod << jnp.uint64(64 - t))
+    return prod <= jnp.uint64(((1 << 64) - 1) // w)
 
 
 def div_mod_owner(hashes, w, n):

@@ -66,3 +66,22 @@ def test_kernel_matches_oracle(k, w, use_pltpu_roll):
                      isf.tolist()))
     assert got == want
     assert cnt.sum() == len(want)
+
+
+def test_mod_is_zero_lemire_exact():
+    """Direct check of the division-free divisibility test over random
+    hashes and a spread of w (pow2 / odd / even-composite, u32 + u64)."""
+    rng = np.random.default_rng(9)
+    ws = [1, 2, 3, 4, 5, 6, 7, 8, 12, 16, 17, 24, 31, 32, 48, 63, 100,
+          255, 1000, 65537, (1 << 20) + 7]
+    h64 = rng.integers(0, 1 << 63, 4096, dtype=np.uint64) * np.uint64(2) \
+        + rng.integers(0, 2, 4096, dtype=np.uint64)
+    # force plenty of true positives for each w
+    for w in ws:
+        mult = rng.integers(0, 1 << 32, 256, dtype=np.uint64)
+        hs = np.concatenate([h64, mult * np.uint64(w)])
+        got = np.asarray(mod_is_zero(jnp.asarray(hs), w))
+        assert np.array_equal(got, hs % np.uint64(w) == 0), f"u64 w={w}"
+        h32 = hs.astype(np.uint32)
+        got32 = np.asarray(mod_is_zero(jnp.asarray(h32), w))
+        assert np.array_equal(got32, h32 % np.uint32(w) == 0), f"u32 w={w}"
