@@ -25,6 +25,20 @@ os.environ.setdefault(
     "NPY_DISABLE_CPU_FEATURES",
     "AVX512F AVX512CD AVX512_SKX AVX512_CLX AVX512_CNL AVX512_ICL")
 
+# numpy madvises THP hugepages on every >=4 MB allocation; with this
+# kernel's defrag policy ([madvise]) the first touch of such a region does
+# DIRECT memory compaction — measured 2.1 s of system time for one scan's
+# output buffers on this (fragmented) VM, vs 0.07 s of plain 4 KB faults.
+# One-shot CLI processes never amortize that, so default it off (runtime
+# setter: works regardless of numpy-import order).  MODIMIZER_HUGEPAGES=1
+# restores numpy's default for long-running resident pipelines.
+if os.environ.get("MODIMIZER_HUGEPAGES") != "1":
+    try:
+        from numpy._core import multiarray as _np_ma
+        _np_ma._set_madvise_hugepage(False)
+    except (ImportError, AttributeError):  # older numpy: env knob only
+        os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 _jax_configured = False
 
 
