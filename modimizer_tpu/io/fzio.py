@@ -50,12 +50,22 @@ def _libdeflate():
 
 
 def _gz_decompress_zlib(data) -> bytearray:
-    """Multi-member gzip decode through zlib (fallback path)."""
+    """Multi-member gzip decode through zlib (fallback path).
+
+    Trailing garbage after at least one complete member is ignored, like
+    zlib's gzread (the reference reads everything through it)."""
     out = bytearray()
     view = memoryview(data)
+    first = True
     while len(view):
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += d.decompress(view)
+        try:
+            out += d.decompress(view)
+        except zlib.error:
+            if first:
+                raise
+            break  # trailing garbage after a complete member
+        first = False
         view = memoryview(d.unused_data)
         if not d.eof:
             break  # truncated final member: return what zlib produced
@@ -98,7 +108,10 @@ def gz_decompress_all(data) -> bytearray:
                 cap = cap * 2 + 64
                 out += bytes(cap - len(out))
                 continue
-            if r != 0:  # bad data / truncated: let zlib produce the error
+            if r != 0:
+                if pos > 0:   # trailing garbage after a complete member:
+                    break     # ignore, like zlib's gzread
+                # bad first member: let zlib produce the error
                 return _gz_decompress_zlib(data)
             pos += ain.value
             wpos += aout.value

@@ -84,3 +84,11 @@ def test_env_knob_forces_zlib(monkeypatch):
     data = gzip.compress(b"x" * 1000, 6)
     assert bytes(gz_decompress_all(bytearray(data))) == b"x" * 1000
     assert fzio._LIBDEFLATE is False
+
+
+def test_trailing_garbage_tolerated(libdeflate_present):
+    # zlib's gzread ignores trailing garbage after a complete member;
+    # both decode paths must too (reference reads via fzopen/gzread)
+    payload = b"payload" * 5000
+    data = gzip.compress(payload, 6) + b"\x00" * 37 + b"junk"
+    assert _both(data) == payload
