@@ -2137,6 +2137,209 @@ extern "C" I64 io_parse_fastq(const U8 *d, I64 n, const I16 *conv,
 // Boundary-aware variant: emits only k-mers fully inside one read, in
 // stream order, with global positions — subsumes the host-side validity
 // filter.  OpenMP over reads (guided: read lengths vary).
+// ------------------------------------------------------------------
+// AVX-512 scan: 8 u64 lanes over 8 equal (k-1)-halo'd stream segments.
+//
+// The rolling state update is a serial dependency chain per sequence, so
+// scalar ILP caps out ~8 cycles/position; eight independent segments in
+// zmm lanes break the chain (measured ~4x on this host's vpmullq
+// throughput probe).  The scan is boundary-OBLIVIOUS (kmers spanning
+// read boundaries are emitted too — their h/hrc depend only on the last
+// k bases, so within-read kmers are bit-identical to the per-read scan);
+// a two-pointer pass against `offsets` then drops spanning emissions,
+// reproducing sh_scan_emit_reads' output exactly (oracle-tested).
+// Compiled only where the build host has AVX-512 (the .so is always
+// compiled -march=native on the machine that runs it).
+// ------------------------------------------------------------------
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+#include <immintrin.h>
+
+// emissions over positions [0, P) of `codes` (P + k - 1 readable bytes),
+// split as 8 lanes of L plus a scalar tail; per-lane regions of R entries
+// inside the caller buffers, compacted to stream order before returning.
+// Returns total emissions or -(2*cap) if any lane region overflows.
+static I64 scan_simd_stream(const U8 *codes, I64 P, int k, U64 w, U64 f1,
+                            int s1, U64 *out_k, I64 *out_p, U8 *out_f,
+                            I64 cap) {
+  const U64 mask = (k < 32) ? ((((U64)1) << (2 * k)) - 1) : ~(U64)0;
+  const int rcShift = 2 * (k - 1);
+  const DivisW dw(w);
+  const I64 L = P / 8;
+  const I64 R = cap / 8;
+  // vector steps: stop 8 early so the 8-byte lookahead loads stay inside
+  const I64 Lv = (L - 8) < 0 ? 0 : ((L - 8) & ~(I64)7);
+
+  U64 hs[8], hrcs[8];
+  for (int j = 0; j < 8; ++j) {
+    U64 h = 0, hrc = 0;
+    const U8 *c = codes + j * L;
+    for (int t = 0; t < k - 1; ++t) {
+      U64 b = c[t];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    hs[j] = h;
+    hrcs[j] = hrc;
+  }
+  __m512i vh = _mm512_loadu_si512(hs);
+  __m512i vhrc = _mm512_loadu_si512(hrcs);
+  const __m512i vmask = _mm512_set1_epi64((long long)mask);
+  const __m512i vf1 = _mm512_set1_epi64((long long)f1);
+  const __m512i v3 = _mm512_set1_epi64(3);
+  const __m512i vbyte = _mm512_set1_epi64(0xFF);
+  const __m512i vinv = _mm512_set1_epi64((long long)dw.inv);
+  const __m512i vthresh = _mm512_set1_epi64((long long)dw.thresh);
+  const __m512i vt = _mm512_set1_epi64(dw.t);
+  const __m128i cs1 = _mm_cvtsi32_si128(s1);
+  const __m128i crc = _mm_cvtsi32_si128(rcShift);
+  // NOT vpgatherqq: this host microcodes gathers (its XLA target even
+  // carries +prefer-no-gather); 8 scalar u64 loads assemble faster
+  const U8 *lane[8];
+  for (int j = 0; j < 8; ++j) lane[j] = codes + j * L + k - 1;
+
+  I64 o[8];
+  for (int j = 0; j < 8; ++j) o[j] = 0;
+  // Hit handling is branch-FREE: a data-dependent `if (emit)` mispredicts
+  // ~40% of steps at w=16 (~100 cycles/hit measured).  Every step does an
+  // unconditional vpcompressstoreu of the canonical kmers and a packed
+  // (lane | pos<<1 | isF) meta word into an L1-resident staging buffer —
+  // only real hits cost store bytes — and each 1024-step block then
+  // distributes staged hits to the per-lane regions (short, branch-light
+  // scalar pass outside the vector pipeline).
+  const I64 BLK = 1024;
+  U64 skmer[BLK * 8 + 8];   // absolute worst case: every lane hits every
+  U64 smeta[BLK * 8 + 8];   // step (w=1); 2x64KB, stack- and L2-friendly
+  __m512i vmetab = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+  vmetab = _mm512_slli_epi64(vmetab, 60);
+  {
+    __m512i lpos = _mm512_setr_epi64(0, L, 2 * L, 3 * L, 4 * L, 5 * L,
+                                     6 * L, 7 * L);
+    vmetab = _mm512_or_si512(vmetab, _mm512_slli_epi64(lpos, 1));
+  }
+  for (I64 t0 = 0; t0 < Lv; t0 += BLK) {
+    const I64 t1 = t0 + BLK < Lv ? t0 + BLK : Lv;
+    I64 sc = 0;  // staging cursor
+    for (I64 t = t0; t < t1; t += 8) {
+      U64 w0, w1, w2, w3, w4, w5, w6, w7;
+      memcpy(&w0, lane[0] + t, 8); memcpy(&w1, lane[1] + t, 8);
+      memcpy(&w2, lane[2] + t, 8); memcpy(&w3, lane[3] + t, 8);
+      memcpy(&w4, lane[4] + t, 8); memcpy(&w5, lane[5] + t, 8);
+      memcpy(&w6, lane[6] + t, 8); memcpy(&w7, lane[7] + t, 8);
+      __m512i words = _mm512_set_epi64(
+          (long long)w7, (long long)w6, (long long)w5, (long long)w4,
+          (long long)w3, (long long)w2, (long long)w1, (long long)w0);
+      for (int jj = 0; jj < 8; ++jj) {
+        __m512i b = _mm512_and_si512(words, vbyte);
+        words = _mm512_srli_epi64(words, 8);
+        vh = _mm512_or_si512(
+            _mm512_and_si512(_mm512_slli_epi64(vh, 2), vmask), b);
+        vhrc = _mm512_or_si512(
+            _mm512_srli_epi64(vhrc, 2),
+            _mm512_sll_epi64(_mm512_sub_epi64(v3, b), crc));
+        __m512i hf = _mm512_srl_epi64(_mm512_mullo_epi64(vh, vf1), cs1);
+        __m512i hr = _mm512_srl_epi64(_mm512_mullo_epi64(vhrc, vf1), cs1);
+        __mmask8 isF = _mm512_cmplt_epu64_mask(hf, hr);
+        __m512i hash = _mm512_min_epu64(hf, hr);
+        __mmask8 em = _mm512_cmple_epu64_mask(
+            _mm512_rorv_epi64(_mm512_mullo_epi64(hash, vinv), vt),
+            vthresh);
+        _mm512_mask_compressstoreu_epi64(
+            skmer + sc, em, _mm512_mask_blend_epi64(isF, vhrc, vh));
+        __m512i vmeta = _mm512_or_si512(
+            _mm512_add_epi64(vmetab, _mm512_set1_epi64((t + jj) << 1)),
+            _mm512_maskz_set1_epi64(isF, 1));
+        _mm512_mask_compressstoreu_epi64(smeta + sc, em, vmeta);
+        sc += _mm_popcnt_u32(em);
+      }
+    }
+    for (int j = 0; j < 8; ++j)
+      if (o[j] + sc > R) return -(2 * cap);
+    for (I64 i = 0; i < sc; ++i) {
+      const U64 meta = smeta[i];
+      const int j = (int)(meta >> 60);
+      const I64 oj = o[j];
+      out_k[j * R + oj] = skmer[i];
+      out_p[j * R + oj] = (I64)((meta >> 1) & (((U64)1 << 59) - 1));
+      out_f[j * R + oj] = (U8)(meta & 1);
+      o[j] = oj + 1;
+    }
+  }
+  // scalar finish: per-lane remainder [Lv, L), then the global tail [8L, P)
+  _mm512_storeu_si512(hs, vh);
+  _mm512_storeu_si512(hrcs, vhrc);
+  for (int j = 0; j < 8; ++j) {
+    U64 h = hs[j], hrc = hrcs[j];
+    for (I64 t = Lv; t < L; ++t) {
+      U64 b = codes[j * L + t + k - 1];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+      U64 hf = (h * f1) >> s1;
+      U64 hr = (hrc * f1) >> s1;
+      if (dw.divides(hf < hr ? hf : hr)) {
+        if (o[j] >= R) return -(2 * cap);
+        out_k[j * R + o[j]] = hf < hr ? h : hrc;
+        out_p[j * R + o[j]] = j * L + t;
+        out_f[j * R + o[j]] = hf < hr ? 1 : 0;
+        ++o[j];
+      }
+    }
+  }
+  // compact lane regions to stream order (regions are already sorted)
+  I64 total = 0;
+  for (int j = 0; j < 8; ++j) {
+    if (o[j] && j * R != total) {
+      memmove(out_k + total, out_k + j * R, o[j] * sizeof(U64));
+      memmove(out_p + total, out_p + j * R, o[j] * sizeof(I64));
+      memmove(out_f + total, out_f + j * R, o[j] * sizeof(U8));
+    }
+    total += o[j];
+  }
+  // global tail positions [8L, P) scalar, appended in place
+  if (8 * L < P) {
+    U64 h = 0, hrc = 0;
+    const U8 *c = codes + 8 * L;
+    for (int t = 0; t < k - 1; ++t) {
+      U64 b = c[t];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    for (I64 p = 8 * L; p < P; ++p) {
+      U64 b = codes[p + k - 1];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+      U64 hf = (h * f1) >> s1;
+      U64 hr = (hrc * f1) >> s1;
+      if (dw.divides(hf < hr ? hf : hr)) {
+        if (total >= cap) return -(2 * cap);
+        out_k[total] = hf < hr ? h : hrc;
+        out_p[total] = p;
+        out_f[total] = hf < hr ? 1 : 0;
+        ++total;
+      }
+    }
+  }
+  return total;
+}
+
+// drop emissions whose kmer spans a read boundary: keep p iff the read r
+// containing p satisfies p + k <= offsets[r+1] (two-pointer, in place).
+static I64 filter_read_spans(const I64 *offsets, I64 nReads, int k,
+                             U64 *out_k, I64 *out_p, U8 *out_f, I64 n) {
+  I64 kept = 0, r = 0;
+  for (I64 i = 0; i < n; ++i) {
+    I64 p = out_p[i];
+    while (r < nReads && offsets[r + 1] <= p) ++r;
+    if (p + k <= offsets[r + 1]) {
+      out_k[kept] = out_k[i];
+      out_p[kept] = p;
+      out_f[kept] = out_f[i];
+      ++kept;
+    }
+  }
+  return kept;
+}
+#endif  // AVX512
+
 extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
                                   I64 nReads, int k, U64 w, U64 factor1,
                                   int shift1, U64 *out_k, I64 *out_p,
@@ -2151,6 +2354,19 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
   int nThreads = 1;
 #ifdef _OPENMP
   nThreads = omp_get_max_threads();
+#endif
+#if defined(__AVX512F__) && defined(__AVX512DQ__)
+  if (nThreads == 1 && k <= 31 && nReads > 0) {
+    I64 n = offsets[nReads];
+    I64 P = n - k + 1;
+    if (P >= (1 << 16) && cap >= 64) {
+      I64 got = scan_simd_stream(codes, P, k, w, factor1, shift1,
+                                 out_k, out_p, out_f, cap);
+      if (got < 0) return got;  // lane overflow: caller doubles cap
+      return filter_read_spans(offsets, nReads, k, out_k, out_p, out_f,
+                               got);
+    }
+  }
 #endif
   if (nThreads == 1) {
     // sequential: one fused pass, direct writes (on overflow keep counting
