@@ -2160,7 +2160,7 @@ extern "C" I64 io_parse_fastq(const U8 *d, I64 n, const I16 *conv,
 // Returns total emissions or -(2*cap) if any lane region overflows.
 static I64 scan_simd_stream(const U8 *codes, I64 P, int k, U64 w, U64 f1,
                             int s1, U64 *out_k, I64 *out_p, U8 *out_f,
-                            I64 cap) {
+                            I64 cap, I64 pbase) {
   const U64 mask = (k < 32) ? ((((U64)1) << (2 * k)) - 1) : ~(U64)0;
   const int rcShift = 2 * (k - 1);
   const DivisW dw(w);
@@ -2259,7 +2259,7 @@ static I64 scan_simd_stream(const U8 *codes, I64 P, int k, U64 w, U64 f1,
       const int j = (int)(meta >> 60);
       const I64 oj = o[j];
       out_k[j * R + oj] = skmer[i];
-      out_p[j * R + oj] = (I64)((meta >> 1) & (((U64)1 << 59) - 1));
+      out_p[j * R + oj] = pbase + (I64)((meta >> 1) & (((U64)1 << 59) - 1));
       out_f[j * R + oj] = (U8)(meta & 1);
       o[j] = oj + 1;
     }
@@ -2278,7 +2278,7 @@ static I64 scan_simd_stream(const U8 *codes, I64 P, int k, U64 w, U64 f1,
       if (dw.divides(hf < hr ? hf : hr)) {
         if (o[j] >= R) return -(2 * cap);
         out_k[j * R + o[j]] = hf < hr ? h : hrc;
-        out_p[j * R + o[j]] = j * L + t;
+        out_p[j * R + o[j]] = pbase + j * L + t;
         out_f[j * R + o[j]] = hf < hr ? 1 : 0;
         ++o[j];
       }
@@ -2312,7 +2312,7 @@ static I64 scan_simd_stream(const U8 *codes, I64 P, int k, U64 w, U64 f1,
       if (dw.divides(hf < hr ? hf : hr)) {
         if (total >= cap) return -(2 * cap);
         out_k[total] = hf < hr ? h : hrc;
-        out_p[total] = p;
+        out_p[total] = pbase + p;
         out_f[total] = hf < hr ? 1 : 0;
         ++total;
       }
@@ -2356,15 +2356,48 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
   nThreads = omp_get_max_threads();
 #endif
 #if defined(__AVX512F__) && defined(__AVX512DQ__)
-  if (nThreads == 1 && k <= 31 && nReads > 0) {
-    I64 n = offsets[nReads];
-    I64 P = n - k + 1;
-    if (P >= (1 << 16) && cap >= 64) {
+  if (k <= 31 && nReads > 0) {
+    const I64 n = offsets[nReads];
+    const I64 P = n - k + 1;
+    if (nThreads == 1 && P >= (1 << 16) && cap >= 64) {
       I64 got = scan_simd_stream(codes, P, k, w, factor1, shift1,
-                                 out_k, out_p, out_f, cap);
+                                 out_k, out_p, out_f, cap, 0);
       if (got < 0) return got;  // lane overflow: caller doubles cap
       return filter_read_spans(offsets, nReads, k, out_k, out_p, out_f,
                                got);
+    }
+    // multicore: OpenMP over contiguous position slices, each scanned by
+    // the 8-lane SIMD core into its own region (boundary-oblivious; one
+    // global read-span filter at the end).  Slice order = stream order.
+    if (nThreads > 1 && P >= (I64)nThreads << 16 &&
+        cap >= (I64)nThreads * 64) {
+      const int T = nThreads;
+      const I64 Rt = cap / T;
+      const I64 Lt = P / T;
+      std::vector<I64> got(T);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+      for (int t = 0; t < T; ++t) {
+        const I64 a = (I64)t * Lt;
+        const I64 Pt = (t == T - 1) ? P - a : Lt;
+        got[t] = scan_simd_stream(codes + a, Pt, k, w, factor1, shift1,
+                                  out_k + t * Rt, out_p + t * Rt,
+                                  out_f + t * Rt, Rt, a);
+      }
+      I64 total = 0;
+      for (int t = 0; t < T; ++t)
+        if (got[t] < 0) return -(2 * cap);
+      for (int t = 0; t < T; ++t) {
+        if (got[t] && t * Rt != total) {
+          memmove(out_k + total, out_k + t * Rt, got[t] * sizeof(U64));
+          memmove(out_p + total, out_p + t * Rt, got[t] * sizeof(I64));
+          memmove(out_f + total, out_f + t * Rt, got[t] * sizeof(U8));
+        }
+        total += got[t];
+      }
+      return filter_read_spans(offsets, nReads, k, out_k, out_p, out_f,
+                               total);
     }
   }
 #endif

@@ -84,3 +84,48 @@ def test_simd_scan_big_stream_hits_dispatch():
     got = _run(codes, offsets, 16, 16, f1, 32, 256)
     exp = _oracle(codes, offsets, 16, 16, f1, 32)
     assert got == exp
+
+
+def test_simd_scan_multithread_slices():
+    """The OpenMP-sliced SIMD branch (nThreads>1) must emit the identical
+    stream; forced via OMP_NUM_THREADS=2 in a subprocess (thread count is
+    read at library load)."""
+    import os
+    import subprocess
+    import sys
+    code = r"""
+import numpy as np
+from modimizer_tpu.native import lib as native_lib
+L = native_lib()
+rng = np.random.default_rng(13)
+n = 1 << 20
+codes = rng.integers(0, 4, n, dtype=np.int8).view(np.uint8)
+nr = 700
+cuts = np.sort(rng.choice(np.arange(1, n), nr - 1, replace=False))
+offsets = np.zeros(nr + 1, np.int64)
+offsets[1:-1] = cuts
+offsets[-1] = n
+f1 = 0x9E3779B97F4A7C15 | 1
+cap = n // 16 * 4 + 8192
+ok = np.empty(cap, np.uint64); op = np.empty(cap, np.int64)
+of = np.empty(cap, np.uint8)
+cnt = L.sh_scan_emit_reads(codes, offsets, nr, 16, 16, f1, 32, ok, op, of,
+                           cap)
+np.save("OUT", np.concatenate([ok[:cnt], op[:cnt].view(np.uint64),
+                               of[:cnt].astype(np.uint64)]))
+"""
+    import tempfile
+    outs = []
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("1", "2"):
+            env = {**os.environ, "OMP_NUM_THREADS": t,
+                   "JAX_PLATFORMS": "cpu"}
+            env.pop("PALLAS_AXON_POOL_IPS", None)
+            r = subprocess.run([sys.executable, "-c",
+                                code.replace("OUT", f"{d}/o{t}.npy")],
+                               env=env, capture_output=True, text=True,
+                               cwd=os.path.dirname(os.path.dirname(
+                                   os.path.abspath(__file__))))
+            assert r.returncode == 0, r.stderr[-800:]
+            outs.append(np.load(f"{d}/o{t}.npy"))
+    assert np.array_equal(outs[0], outs[1])
