@@ -9,6 +9,7 @@ Usage: python scripts/bench_compact.py [C_log2] [backend ...]
 Block size sweeps ride MODIMIZER_BLK (bo is re-derived per BLK via scan_bo).
 """
 
+import os
 import sys
 import time
 from pathlib import Path
@@ -30,6 +31,9 @@ from modimizer_tpu.parallel.sharded import (BLK, _expand_valid, _scan_front,
                                             _scan_compact_local)
 
 K, W, SEED = 16, 16, 17
+K = int(os.environ.get("MODIMIZER_BENCH_K", K))
+W = int(os.environ.get("MODIMIZER_BENCH_W", W))  # e.g. 31 probes the
+# non-pow2 (Lemire) device emit test — the reference's default divisor
 C_LOG2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 BACKENDS = sys.argv[2:] or ["onehot", "onehot_i8", "twolevel_i8"]
 BO = scan_bo(W)

@@ -16,6 +16,9 @@ for BLK in 512 2048; do
   MODIMIZER_BLK=$BLK timeout 1200 python scripts/bench_compact.py 24 \
       posgather 2>&1 | tee -a "$OUT/blk.log"
 done
+echo "== w=31 probe (Lemire device emit test; reference default divisor) ==" | tee "$OUT/w31.log"
+MODIMIZER_BENCH_W=31 timeout 1200 python scripts/bench_compact.py 24 \
+    front onehot_i8 posgather 2>&1 | tee -a "$OUT/w31.log"
 echo "== bench.py ==" | tee "$OUT/bench.log"
 timeout 3600 python bench.py > "$OUT/bench.json" 2>> "$OUT/bench.log"
 cat "$OUT/bench.json" | tee -a "$OUT/bench.log"
