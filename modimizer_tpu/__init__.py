@@ -25,20 +25,6 @@ os.environ.setdefault(
     "NPY_DISABLE_CPU_FEATURES",
     "AVX512F AVX512CD AVX512_SKX AVX512_CLX AVX512_CNL AVX512_ICL")
 
-# numpy madvises THP hugepages on every >=4 MB allocation; with this
-# kernel's defrag policy ([madvise]) the first touch of such a region does
-# DIRECT memory compaction — measured 2.1 s of system time for one scan's
-# output buffers on this (fragmented) VM, vs 0.07 s of plain 4 KB faults.
-# One-shot CLI processes never amortize that, so default it off (runtime
-# setter: works regardless of numpy-import order).  MODIMIZER_HUGEPAGES=1
-# restores numpy's default for long-running resident pipelines.
-if os.environ.get("MODIMIZER_HUGEPAGES") != "1":
-    try:
-        from numpy._core import multiarray as _np_ma
-        _np_ma._set_madvise_hugepage(False)
-    except (ImportError, AttributeError):  # older numpy: env knob only
-        os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
-
 _jax_configured = False
 
 
@@ -102,5 +88,23 @@ def _enable_bytecode_cache():
 
 
 _enable_bytecode_cache()
+
+# numpy madvises THP hugepages on every >=4 MB allocation; with this
+# kernel's defrag policy ([madvise]) the first touch of such a region does
+# DIRECT memory compaction — measured 2.1 s of system time for one scan's
+# output buffers on this (fragmented) VM, vs 0.07 s of plain 4 KB faults.
+# One-shot CLI processes never amortize that, so default it off.
+# MODIMIZER_HUGEPAGES=1 restores numpy's default for long-running
+# resident pipelines.  Runs AFTER _enable_bytecode_cache so the numpy
+# import this triggers gets cached bytecode; the env knob is set before
+# the import for numpy versions without the runtime setter (they read it
+# once at import).
+if os.environ.get("MODIMIZER_HUGEPAGES") != "1":
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    try:
+        from numpy._core import multiarray as _np_ma
+        _np_ma._set_madvise_hugepage(False)
+    except (ImportError, AttributeError):  # older numpy: env knob above
+        pass
 
 __version__ = "0.1.0"

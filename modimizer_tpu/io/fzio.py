@@ -52,19 +52,19 @@ def _libdeflate():
 def _gz_decompress_zlib(data) -> bytearray:
     """Multi-member gzip decode through zlib (fallback path).
 
-    Trailing garbage after at least one complete member is ignored, like
-    zlib's gzread (the reference reads everything through it)."""
+    Trailing bytes that do not BEGIN a gzip member are ignored, like
+    zlib's gzread (the reference reads everything through it).  A later
+    member that starts with the gzip magic but is corrupt still raises —
+    silently truncating a damaged multi-member file would hand callers an
+    incomplete payload as if it were whole."""
     out = bytearray()
     view = memoryview(data)
     first = True
     while len(view):
+        if not first and bytes(view[:2]) != b"\x1f\x8b":
+            break  # trailing garbage after complete member(s)
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        try:
-            out += d.decompress(view)
-        except zlib.error:
-            if first:
-                raise
-            break  # trailing garbage after a complete member
+        out += d.decompress(view)  # raises zlib.error on a corrupt member
         first = False
         view = memoryview(d.unused_data)
         if not d.eof:
@@ -89,8 +89,11 @@ def gz_decompress_all(data) -> bytearray:
     inaddr = ctypes.addressof(ctypes.c_char.from_buffer(data))
     # single-member files (everything gzopen writes) store the output
     # size mod 2^32 in the ISIZE trailer; multi-member streams (BGZF)
-    # grow on demand below
-    cap = max(int.from_bytes(bytes(data[-4:]), "little"), 64)
+    # grow on demand below.  Clamp by deflate's maximum expansion (~1032x)
+    # so a garbage tail (where data[-4:] is not a real ISIZE) cannot
+    # trigger a multi-GB spurious allocation.
+    cap = max(min(int.from_bytes(bytes(data[-4:]), "little"),
+                  n * 1032 + 64), 64)
     out = bytearray(cap)
     pos = wpos = 0
     dec = lib.libdeflate_alloc_decompressor()
@@ -109,9 +112,10 @@ def gz_decompress_all(data) -> bytearray:
                 out += bytes(cap - len(out))
                 continue
             if r != 0:
-                if pos > 0:   # trailing garbage after a complete member:
-                    break     # ignore, like zlib's gzread
-                # bad first member: let zlib produce the error
+                if pos > 0 and bytes(data[pos:pos + 2]) != b"\x1f\x8b":
+                    break  # trailing garbage: ignore, like zlib's gzread
+                # bad/truncated member: redo through zlib so both decode
+                # paths return (or raise) identically
                 return _gz_decompress_zlib(data)
             pos += ain.value
             wpos += aout.value

@@ -2347,10 +2347,6 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
   const U64 mask = (k < 32) ? ((((U64)1) << (2 * k)) - 1) : ~(U64)0;
   const int rcShift = 2 * (k - 1);
   const DivisW dw(w);
-  // Two passes, zero per-read allocation: short-read sets (hundreds of
-  // thousands of reads) page-fault-thrash with per-read vectors, and the
-  // rolling loop is cheap enough that recomputing beats allocating.
-  std::vector<I64> starts((size_t)nReads + 1, 0);
   int nThreads = 1;
 #ifdef _OPENMP
   nThreads = omp_get_max_threads();
@@ -2436,6 +2432,10 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
     return o > cap ? -o : o;
   }
 
+  // Scalar multicore fallback: two passes, zero per-read allocation
+  // (short-read sets page-fault-thrash with per-read vectors).  Allocated
+  // only here — the SIMD paths above never pay for it.
+  std::vector<I64> starts((size_t)nReads + 1, 0);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(guided)
 #endif

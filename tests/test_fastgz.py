@@ -87,8 +87,37 @@ def test_env_knob_forces_zlib(monkeypatch):
 
 
 def test_trailing_garbage_tolerated(libdeflate_present):
-    # zlib's gzread ignores trailing garbage after a complete member;
-    # both decode paths must too (reference reads via fzopen/gzread)
+    # zlib's gzread ignores trailing bytes that do not begin a gzip
+    # member; both decode paths must too (reference reads via gzread)
     payload = b"payload" * 5000
     data = gzip.compress(payload, 6) + b"\x00" * 37 + b"junk"
     assert _both(data) == payload
+
+
+def test_corrupt_later_member_raises(libdeflate_present):
+    # a later member that STARTS like gzip but is corrupt must raise, not
+    # silently truncate the payload
+    import zlib
+    a, b = gzip.compress(b"A" * 50000, 6), bytearray(gzip.compress(
+        b"B" * 50000, 6))
+    b[25] ^= 0xFF
+    for fn in (gz_decompress_all, fzio._gz_decompress_zlib):
+        with pytest.raises(zlib.error):
+            fn(bytearray(a + bytes(b)))
+
+
+def test_truncated_final_member_paths_agree(libdeflate_present):
+    # truncated final member: both paths return the same (partial) bytes
+    a = gzip.compress(b"A" * 50000, 6)
+    b = gzip.compress(b"B" * 50000, 6)
+    data = a + b[:len(b) // 2]
+    assert _both(data).startswith(b"A" * 50000)
+
+
+def test_garbage_isize_does_not_overallocate(libdeflate_present):
+    # the ISIZE heuristic reads the last 4 bytes, garbage here; the cap
+    # clamp (deflate max expansion) keeps the allocation sane
+    payload = b"x" * 35000
+    data = gzip.compress(payload, 6) + b"\x00" * 37 + b"junk"
+    out = gz_decompress_all(bytearray(data))
+    assert bytes(out) == payload
