@@ -60,9 +60,11 @@ def main(argv=None):
     len_min = int(lens.min()) if n else 0
     len_max = int(lens.max()) if n else 0
     w = sys.stdout.write
-    w("%s file, %d sequences >= 0, %d total, %.2f average, %d min, %d max\n"
-      % (seqio.TYPE_NAMES[ftype], n, tot_len,
-         tot_len / n if n else float("nan"), len_min, len_max))
+    # n == 0: C's 0.0/0 is the x86 default QNaN with the sign bit set, and
+    # glibc printf renders it "-nan" (verified against the reference)
+    avg = ("%.2f" % (tot_len / n)) if n else "-nan"
+    w("%s file, %d sequences >= 0, %d total, %s average, %d min, %d max\n"
+      % (seqio.TYPE_NAMES[ftype], n, tot_len, avg, len_min, len_max))
 
     if want_bases:
         from ..native import byte_hist256

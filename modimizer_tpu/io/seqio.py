@@ -470,6 +470,49 @@ def _parse_binary(data: bytes, convert: np.ndarray, is_qual: bool,
 # ------------------------------------------------------------------
 
 
+def incomplete_tail_fixup(data, ftype):
+    """Reference seqio DROPS a final partial record: EOF mid-line (or while
+    seeking a FASTA record's first sequence line) makes bufAdvanceInRecord
+    print ``incomplete sequence record line N`` and seqIOread return false
+    (seqio.c:216-219, 303-321).  N = completed newlines + 1 (verified
+    empirically across FASTA/FASTQ tail shapes).  Returns (data', N) with
+    the partial record removed, or (data, None) if the tail is complete."""
+    if not len(data):
+        return data, None
+    nl = data.count(b"\n")
+    if ftype == FASTA:
+        r = data.rfind(b"\n>")
+        cut = r + 1 if r >= 0 else 0
+        if data[-1] != 0x0A:
+            return data[:cut], nl + 1
+        tail = data[cut:]
+        if tail.find(b"\n") == len(tail) - 1:
+            # final record is a bare header line: the reference hits EOF
+            # advancing to its (absent) sequence line
+            return data[:cut], nl + 1
+        return data, None
+    if ftype == FASTQ:
+        if data[-1] == 0x0A and nl % 4 == 0:
+            return data, None
+        cut = len(data)
+        if data[-1] != 0x0A:
+            cut = data.rfind(b"\n") + 1      # drop the unterminated line
+        for _ in range(nl % 4):              # drop the partial record's
+            if cut == 0:
+                break
+            cut = data.rfind(b"\n", 0, cut - 1) + 1  # complete lines
+        return data[:cut], nl + 1
+    return data, None
+
+
+def _apply_tail_fixup(data, ftype):
+    data, n = incomplete_tail_fixup(data, ftype)
+    if n is not None:
+        import sys
+        sys.stderr.write("incomplete sequence record line %d\n" % n)
+    return data
+
+
 def read_seq_file(filename, convert=None, is_qual=False, want_ids=True):
     """Read a whole sequence file into a SeqBatch (auto-detects type).
 
@@ -493,9 +536,11 @@ def read_seq_file(filename, convert=None, is_qual=False, want_ids=True):
     ftype = sniff_type(data[0])
     if ftype == FASTA:
         conv = convert if convert is not None else dna2textAmbigConv
-        return _parse_fasta(data, conv, want_ids), FASTA
+        return _parse_fasta(_apply_tail_fixup(data, FASTA), conv,
+                            want_ids), FASTA
     if ftype == FASTQ:
-        return _parse_fastq(data, convert, is_qual, want_ids), FASTQ
+        return _parse_fastq(_apply_tail_fixup(data, FASTQ), convert,
+                            is_qual, want_ids), FASTQ
     if ftype == BINARY:
         conv = convert if convert is not None else dna2textConv
         batch, _t = _parse_binary(data, conv, is_qual, want_ids)

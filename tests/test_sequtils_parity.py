@@ -102,18 +102,16 @@ def test_seqconvert_binary_quals(data):
 
 
 def test_seqhoco(data):
-    """The reference appends one layout-dependent garbage byte per sequence
-    (reads past the seq end, seqhoco.c:30); compare with those stripped."""
+    """Byte-identical incl. the reference's one-past-the-end trailing byte
+    (deterministically 0xfe for FASTA/FASTQ input: seqio's in-place
+    conversion leaves convert['\\n'] = -2 at seq[seqLen]; seqhoco.c:30)."""
     import gzip
     r = harness.run_tool("seqhoco", [data / "homo.fa"])
     code, out, err = run_cli("seqhoco", [data / "homo.fa"])
     assert code == 0
-    ref_lines = gzip.decompress(r.stdout).split(b"\n")
-    ref_clean = b"\n".join(
-        (ln[:-1] if not ln.startswith(b">") and ln else ln) for ln in ref_lines)
-    ours = gzip.decompress(out)
-    assert ours == ref_clean
-    assert ours.decode() == ">h1\nACgTAcgtACGT\n>h2\nGA\n"
+    assert r.stdout == out
+    assert gzip.decompress(out).decode("latin1") == \
+        ">h1\nACgTAcgtACGT\xfe\n>h2\nGA\xfe\n"
 
 
 def test_native_parsers_match_numpy_twins():
@@ -196,3 +194,47 @@ def test_memory_column_nonzero_monotone(tmp_path):
     assert len(mems) >= 3
     assert mems[0] > 0
     assert all(b >= a for a, b in zip(mems, mems[1:]))
+
+
+def test_incomplete_final_record_quirk(tmp_path):
+    """EOF mid-record drops the final partial record with `incomplete
+    sequence record line N` on stderr (seqio.c:216-219; N = completed
+    newlines + 1) — stdout AND stderr byte-compared vs the reference
+    binary across FASTA/FASTQ tail shapes."""
+    cases = {
+        "fa_noeol_seq.fa": b">a\nACGT\nACGT",
+        "fa_noeol_hdr.fa": b">a\nACGT\n>b desc",
+        "fa_hdr_only.fa": b">a\nACGT\n>b\n",
+        "fa_single_noeol.fa": b">a\nACGTACGT",
+        "fq_noeol2.fq": b"@a\nACGT\n+\nIIII\n@b\nACGT",
+        "fq_2lines.fq": b"@a\nACGT\n+\nIIII\n@b\nACGT\n",
+        "fq_noeol_qual.fq": b"@a\nACGT\n+\nIIII\n@b\nACGT\n+\nIII",
+        "fq_dangling_hdr.fq": b"@a\nACGT\n+\nIIII\n@b",
+    }
+    for name, payload in cases.items():
+        p = tmp_path / name
+        p.write_bytes(payload)
+        r = harness.run_tool("composition", [p])
+        code, out, err = run_cli("composition", [p])
+        assert code == r.returncode == 0, (name, code, r.returncode)
+        assert strip_timing(r.stdout.decode()) == \
+            strip_timing(out.decode()), (name, "stdout")
+        assert strip_timing(r.stderr.decode()) == strip_timing(err), (
+            name, "stderr", r.stderr, err)
+
+
+def test_incomplete_record_streaming_matches_whole(tmp_path):
+    """The parse-ahead streaming producer applies the same drop+message."""
+    import numpy as np
+    from modimizer_tpu.io import seqio as sio
+    from modimizer_tpu.io.stream_seq import iter_seq_batches
+    p = tmp_path / "t.fa"
+    p.write_bytes(b">a\nACGT\nGGTT\n>b\nCCCC\n>c\nAAAA")  # c incomplete
+    conv = sio.dna2index_n0()
+    batch, _ = sio.read_seq_file(str(p), conv, want_ids=False)
+    got_c, got_n = [], 0
+    for cb, ob in iter_seq_batches(str(p), conv, seg_bytes=8):
+        got_c.append(cb)
+        got_n += len(ob) - 1
+    assert got_n == len(batch.offsets) - 1 == 2
+    assert np.array_equal(np.concatenate(got_c).view(np.int8), batch.codes)
