@@ -21,6 +21,11 @@ with open(f"{D}/s2.fq", "w") as f:
         q = "".join(chr(33 + int(x)) for x in rng.integers(0, 42, 200))
         f.write(f"@y{i}\n{s}\n+\n{q}\n")
 _gz.open(f"{D}/s3.fa.gz", "wb").write(open(f"{D}/s1.fa", "rb").read())
+# incomplete-tail variants: the reference DROPS a final partial record with
+# an 'incomplete sequence record line N' message (seqio.c:216-219)
+open(f"{D}/s4.fa", "wb").write(open(f"{D}/s1.fa", "rb").read()[:-1])
+open(f"{D}/s5.fq", "wb").write(
+    open(f"{D}/s2.fq", "rb").read() + b"@tail\nACGT\n+\n")
 TOOLS = {"composition": str(harness.build_tool("composition")),
          "seqconvert": str(harness.build_tool("seqconvert")),
          "seqhoco": str(harness.build_tool("seqhoco"))}
@@ -40,7 +45,8 @@ fails = 0
 N = 30
 for i in range(N):
     tool = R.choice(["composition", "composition", "seqconvert", "seqconvert", "seqhoco"])
-    src = R.choice([f"{D}/s1.fa", f"{D}/s2.fq", f"{D}/s3.fa.gz", f"{D}/nonexistent.fa"])
+    src = R.choice([f"{D}/s1.fa", f"{D}/s2.fq", f"{D}/s3.fa.gz",
+                    f"{D}/s4.fa", f"{D}/s5.fq", f"{D}/nonexistent.fa"])
     if tool == "composition":
         cmds = [fl for fl in ("-b", "-q", "-l", "-t") if R.random() < 0.5] + [src]
     elif tool == "seqhoco":
