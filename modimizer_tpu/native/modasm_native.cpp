@@ -2321,6 +2321,188 @@ static I64 scan_simd_stream(const U8 *codes, I64 P, int k, U64 w, U64 f1,
   return total;
 }
 
+// u32 variant for k <= 16: kmers and hashes fit 32 bits, so SIXTEEN
+// lanes ride one zmm.  hash = ((kmer * f1) mod 2^64) >> (64-2k)
+// = hi32 >> (32-2k) with hi32 = mulhi32(kmer, f1lo) + kmer*f1hi (mod
+// 2^32) — exact since kmer < 2^32 and 64-2k >= 32.  Meta packs
+// (lane:4 | pos:24 | isF:1) into a u32, so this path requires lane
+// length L < 2^24 (the dispatcher falls back to the 8-lane u64 kernel
+// for longer streams).
+static I64 scan_simd_stream32(const U8 *codes, I64 P, int k, U64 w, U64 f1,
+                              int s1, U64 *out_k, I64 *out_p, U8 *out_f,
+                              I64 cap, I64 pbase) {
+  const U32 mask = (U32)((((U64)1) << (2 * k)) - 1);
+  const int rcShift = 2 * (k - 1);
+  const int hShift = 32 - 2 * k;   // hash = hi32 >> hShift
+  const DivisW dw(w);
+  const U32 inv32 = (U32)dw.inv;   // inverse mod 2^32 = low half of mod-2^64
+  const U32 thresh32 = (U32)(~(U32)0 / (U32)w);
+  const I64 L = P / 16;
+  const I64 R = cap / 16;
+  const I64 Lv = (L - 8) < 0 ? 0 : ((L - 8) & ~(I64)3);
+
+  U32 hs[16], hrcs[16];
+  for (int j = 0; j < 16; ++j) {
+    U32 h = 0, hrc = 0;
+    const U8 *c = codes + j * L;
+    for (int t = 0; t < k - 1; ++t) {
+      U32 b = c[t];
+      h = ((h << 2) & mask) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    hs[j] = h;
+    hrcs[j] = hrc;
+  }
+  __m512i vh = _mm512_loadu_si512(hs);
+  __m512i vhrc = _mm512_loadu_si512(hrcs);
+  const __m512i vmask = _mm512_set1_epi32((int)mask);
+  const __m512i vf1lo = _mm512_set1_epi64((long long)(U32)f1);
+  const __m512i vf1hi = _mm512_set1_epi32((int)(U32)(f1 >> 32));
+  const __m512i v3 = _mm512_set1_epi32(3);
+  const __m512i vbyte = _mm512_set1_epi32(0xFF);
+  const __m512i vinv = _mm512_set1_epi32((int)inv32);
+  const __m512i vthresh = _mm512_set1_epi32((int)thresh32);
+  const __m512i vt32 = _mm512_set1_epi32(dw.t);
+  const __m128i crc = _mm_cvtsi32_si128(rcShift);
+  const __m128i chs = _mm_cvtsi32_si128(hShift);
+  __m512i vlane = _mm512_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                                    12, 13, 14, 15);
+  vlane = _mm512_slli_epi32(vlane, 25);
+
+  const U8 *lane[16];
+  for (int j = 0; j < 16; ++j) lane[j] = codes + j * L + k - 1;
+
+  I64 o[16];
+  for (int j = 0; j < 16; ++j) o[j] = 0;
+  const I64 BLK = 1024;
+  U32 skmer[BLK * 16 + 16];
+  U32 smeta[BLK * 16 + 16];
+  for (I64 t0 = 0; t0 < Lv; t0 += BLK) {
+    const I64 t1 = t0 + BLK < Lv ? t0 + BLK : Lv;
+    I64 sc = 0;
+    for (I64 t = t0; t < t1; t += 4) {
+      U32 wd[16];
+      for (int j = 0; j < 16; ++j) memcpy(&wd[j], lane[j] + t, 4);
+      __m512i words = _mm512_loadu_si512(wd);
+      for (int jj = 0; jj < 4; ++jj) {
+        __m512i b = _mm512_and_si512(words, vbyte);
+        words = _mm512_srli_epi32(words, 8);
+        vh = _mm512_or_si512(
+            _mm512_and_si512(_mm512_slli_epi32(vh, 2), vmask), b);
+        vhrc = _mm512_or_si512(
+            _mm512_srli_epi32(vhrc, 2),
+            _mm512_sll_epi32(_mm512_sub_epi32(v3, b), crc));
+        // hi32 of (x * f1) mod 2^64 for 16 u32 lanes
+#define HI32(x)                                                           \
+  _mm512_add_epi32(                                                       \
+      _mm512_mask_blend_epi32(                                            \
+          (__mmask16)0xAAAA,                                              \
+          _mm512_srli_epi64(_mm512_mul_epu32((x), vf1lo), 32),            \
+          _mm512_mul_epu32(_mm512_srli_epi64((x), 32), vf1lo)),           \
+      _mm512_mullo_epi32((x), vf1hi))
+        __m512i hf = _mm512_srl_epi32(HI32(vh), chs);
+        __m512i hr = _mm512_srl_epi32(HI32(vhrc), chs);
+#undef HI32
+        __mmask16 isF = _mm512_cmplt_epu32_mask(hf, hr);
+        __m512i hash = _mm512_min_epu32(hf, hr);
+        __mmask16 em = _mm512_cmple_epu32_mask(
+            _mm512_rorv_epi32(_mm512_mullo_epi32(hash, vinv), vt32),
+            vthresh);
+        _mm512_mask_compressstoreu_epi32(
+            skmer + sc, em, _mm512_mask_blend_epi32(isF, vhrc, vh));
+        __m512i vmeta = _mm512_or_si512(
+            _mm512_or_si512(vlane,
+                            _mm512_set1_epi32((int)((t + jj) << 1))),
+            _mm512_maskz_set1_epi32(isF, 1));
+        _mm512_mask_compressstoreu_epi32(smeta + sc, em, vmeta);
+        sc += _mm_popcnt_u32(em);
+      }
+    }
+    for (int j = 0; j < 16; ++j)
+      if (o[j] + sc > R) return -(2 * cap);
+    for (I64 i = 0; i < sc; ++i) {
+      const U32 meta = smeta[i];
+      const int j = (int)(meta >> 25);
+      const I64 oj = o[j];
+      out_k[j * R + oj] = (U64)skmer[i];
+      out_p[j * R + oj] = pbase + j * L + (I64)((meta >> 1) & 0xFFFFFF);
+      out_f[j * R + oj] = (U8)(meta & 1);
+      o[j] = oj + 1;
+    }
+  }
+  // scalar finish per lane, then compact, then the global tail [16L, P)
+  _mm512_storeu_si512(hs, vh);
+  _mm512_storeu_si512(hrcs, vhrc);
+  for (int j = 0; j < 16; ++j) {
+    U64 h = hs[j], hrc = hrcs[j];
+    const U64 mask64 = (((U64)1) << (2 * k)) - 1;
+    for (I64 t = Lv; t < L; ++t) {
+      U64 b = codes[j * L + t + k - 1];
+      h = ((h << 2) & mask64) | b;
+      hrc = ((hrc >> 2) | ((3 - b) << rcShift)) & mask64;
+      U64 hf = (h * f1) >> s1;
+      U64 hr = (hrc * f1) >> s1;
+      if (dw.divides(hf < hr ? hf : hr)) {
+        if (o[j] >= R) return -(2 * cap);
+        out_k[j * R + o[j]] = hf < hr ? h : hrc;
+        out_p[j * R + o[j]] = pbase + j * L + t;
+        out_f[j * R + o[j]] = hf < hr ? 1 : 0;
+        ++o[j];
+      }
+    }
+  }
+  I64 total = 0;
+  for (int j = 0; j < 16; ++j) {
+    if (o[j] && j * R != total) {
+      memmove(out_k + total, out_k + j * R, o[j] * sizeof(U64));
+      memmove(out_p + total, out_p + j * R, o[j] * sizeof(I64));
+      memmove(out_f + total, out_f + j * R, o[j] * sizeof(U8));
+    }
+    total += o[j];
+  }
+  if (16 * L < P) {
+    U64 h = 0, hrc = 0;
+    const U64 mask64 = (((U64)1) << (2 * k)) - 1;
+    const U8 *c = codes + 16 * L;
+    for (int t = 0; t < k - 1; ++t) {
+      U64 b = c[t];
+      h = ((h << 2) & mask64) | b;
+      hrc = (hrc >> 2) | ((3 - b) << rcShift);
+    }
+    for (I64 p = 16 * L; p < P; ++p) {
+      U64 b = codes[p + k - 1];
+      h = ((h << 2) & mask64) | b;
+      hrc = ((hrc >> 2) | ((3 - b) << rcShift)) & mask64;
+      U64 hf = (h * f1) >> s1;
+      U64 hr = (hrc * f1) >> s1;
+      if (dw.divides(hf < hr ? hf : hr)) {
+        if (total >= cap) return -(2 * cap);
+        out_k[total] = hf < hr ? h : hrc;
+        out_p[total] = pbase + p;
+        out_f[total] = hf < hr ? 1 : 0;
+        ++total;
+      }
+    }
+  }
+  return total;
+}
+
+// pick the 16-lane u32 kernel when kmers/hashes fit 32 bits, the lane
+// length fits the 24-bit meta position field, AND the emission rate is
+// sparse enough that the math (not the hit staging) dominates — measured
+// crossover w≈32 on this host (w=16: 552 vs 615 for the u64 kernel;
+// w=64: 999 vs 908; w=128: 1268 vs 936; w=256: 1339 vs 1050 Mpos/s).
+static inline I64 scan_simd_any(const U8 *codes, I64 P, int k, U64 w,
+                                U64 f1, int s1, U64 *out_k, I64 *out_p,
+                                U8 *out_f, I64 cap, I64 pbase) {
+  if (k <= 16 && w >= 32 && w <= 0xFFFFFFFFull &&
+      P / 16 < (((I64)1) << 24))
+    return scan_simd_stream32(codes, P, k, w, f1, s1, out_k, out_p, out_f,
+                              cap, pbase);
+  return scan_simd_stream(codes, P, k, w, f1, s1, out_k, out_p, out_f,
+                          cap, pbase);
+}
+
 // drop emissions whose kmer spans a read boundary: keep p iff the read r
 // containing p satisfies p + k <= offsets[r+1] (two-pointer, in place).
 static I64 filter_read_spans(const I64 *offsets, I64 nReads, int k,
@@ -2356,8 +2538,8 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
     const I64 n = offsets[nReads];
     const I64 P = n - k + 1;
     if (nThreads == 1 && P >= (1 << 16) && cap >= 64) {
-      I64 got = scan_simd_stream(codes, P, k, w, factor1, shift1,
-                                 out_k, out_p, out_f, cap, 0);
+      I64 got = scan_simd_any(codes, P, k, w, factor1, shift1,
+                              out_k, out_p, out_f, cap, 0);
       if (got < 0) return got;  // lane overflow: caller doubles cap
       return filter_read_spans(offsets, nReads, k, out_k, out_p, out_f,
                                got);
@@ -2377,9 +2559,9 @@ extern "C" I64 sh_scan_emit_reads(const U8 *codes, const I64 *offsets,
       for (int t = 0; t < T; ++t) {
         const I64 a = (I64)t * Lt;
         const I64 Pt = (t == T - 1) ? P - a : Lt;
-        got[t] = scan_simd_stream(codes + a, Pt, k, w, factor1, shift1,
-                                  out_k + t * Rt, out_p + t * Rt,
-                                  out_f + t * Rt, Rt, a);
+        got[t] = scan_simd_any(codes + a, Pt, k, w, factor1, shift1,
+                               out_k + t * Rt, out_p + t * Rt,
+                               out_f + t * Rt, Rt, a);
       }
       I64 total = 0;
       for (int t = 0; t < T; ++t)
