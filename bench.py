@@ -155,14 +155,42 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
     vb_d = jnp.asarray(pack_bits(np.ones(min(C, len(codes)), bool), C // 64))
 
-    def step(dep):
-        swx = sw_d.at[0].set(sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
-        return _scan_compact_local(swx, vb_d, k=K, w=W, factor1=sh.factor1,
-                                   C=C, bo=b2.bo)
+    def make_step(be):
+        def step(dep):
+            swx = sw_d.at[0].set(
+                sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+            return _scan_compact_local(swx, vb_d, k=K, w=W,
+                                       factor1=sh.factor1, C=C, bo=b2.bo,
+                                       backend=be)
+        return step
 
-    dep = jnp.int64(0)
-    out = step(dep)
-    int(np.asarray(out[2]))  # warm + true sync
+    # auto-probe the bit-identical compaction backends (docs/PERF.md has
+    # the ablation history; the cube-free ones were built after the last
+    # healthy chip window) and measure with the winner.  MODIMIZER_COMPACT
+    # set explicitly skips the probe.
+    if os.environ.get("MODIMIZER_COMPACT"):
+        cands = (os.environ["MODIMIZER_COMPACT"],)
+    else:
+        cands = ("onehot_i8", "posgather", "gather")
+    probe = {}
+    for be in cands:
+        st = make_step(be)
+        dep = jnp.int64(0)
+        out = st(dep)
+        int(np.asarray(out[2]))  # compile + warm + true sync
+        t0 = time.perf_counter()
+        dep = jnp.int64(0)
+        for _ in range(4):
+            out = st(dep)
+            dep = out[2]
+        int(np.asarray(dep))
+        probe[be] = time.perf_counter() - t0
+    be_best = min(probe, key=probe.get)
+    if len(cands) > 1:
+        log("backend probe: " + ", ".join(
+            f"{b}:{probe[b]/4*1e3:.1f}ms" for b in cands)
+            + f" -> {be_best}")
+    step = make_step(be_best)
     reps = 16
     best = None
     for _batch in range(5):  # best-of-5: same-program step times swing
@@ -177,7 +205,8 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
         best = dt if best is None else min(best, dt)
     chip = reps * C / best
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
-        f"({best/reps*1e3:.1f} ms/step of {C}, best of 5 batches)")
+        f"({best/reps*1e3:.1f} ms/step of {C}, best of 5 batches, "
+        f"backend {be_best})")
     return chip
 
 
