@@ -88,6 +88,77 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     """Chip throughput: the sharded build step on device-resident data
     (kmers/s/chip — hashing + modimizer filter + count-merge).  The full
     host-to-.mod pipeline is also run and logged for context."""
+    return _tpu_rate_impl(fa, c_entries)
+
+
+_CHIP = None     # (make_step, C): resident microbench apparatus, built once
+
+
+def _chip_apparatus(sh, mesh):
+    global _CHIP
+    if _CHIP is None:
+        import jax.numpy as jnp
+        import numpy as np
+        from modimizer_tpu.ops.packed import pack_bits, pack_sw
+        from modimizer_tpu.parallel.sharded import (ShardedModsetBuilder,
+                                                    _scan_compact_local)
+        b2 = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 24)
+        C = b2.chunk
+        # resident-data microbench: random codes (the compact step's cost
+        # is shape-fixed, independent of emit pattern)
+        codes = np.random.default_rng(1).integers(
+            0, 4, size=C + K - 1).astype(np.uint8)
+        sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
+        vb_d = jnp.asarray(pack_bits(np.ones(min(C, len(codes)), bool),
+                                     C // 64))
+
+        def make_step(be):
+            def step(dep):
+                swx = sw_d.at[0].set(
+                    sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+                return _scan_compact_local(swx, vb_d, k=K, w=W,
+                                           factor1=sh.factor1, C=C,
+                                           bo=b2.bo, backend=be)
+            return step
+
+        _CHIP = (make_step, C)
+    return _CHIP
+
+
+def _chip_probe(sh, mesh, logf):
+    """Time each bit-identical compaction backend for 4 chained steps and
+    return the fastest (the cube-free ones were built after the last
+    healthy chip window — never flip defaults blind).  An explicit
+    MODIMIZER_COMPACT skips the probe."""
+    import jax.numpy as jnp
+    import numpy as np
+    make_step, _C = _chip_apparatus(sh, mesh)
+    if os.environ.get("MODIMIZER_COMPACT"):
+        cands = (os.environ["MODIMIZER_COMPACT"],)
+    else:
+        cands = ("onehot_i8", "posgather", "gather")
+    probe = {}
+    for be in cands:
+        st = make_step(be)
+        dep = jnp.int64(0)
+        out = st(dep)
+        int(np.asarray(out[2]))  # compile + warm + true sync
+        t0 = time.perf_counter()
+        dep = jnp.int64(0)
+        for _ in range(4):
+            out = st(dep)
+            dep = out[2]
+        int(np.asarray(dep))
+        probe[be] = time.perf_counter() - t0
+    be_best = min(probe, key=probe.get)
+    if len(cands) > 1:
+        logf("backend probe: " + ", ".join(
+            f"{b}:{probe[b]/4*1e3:.1f}ms" for b in cands)
+            + f" -> {be_best}")
+    return be_best
+
+
+def _tpu_rate_impl(fa, c_entries):
     import modimizer_tpu  # noqa: F401
     import jax
     import jax.numpy as jnp
@@ -101,6 +172,12 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     log(f"devices: {jax.devices()}")
     sh = Seqhash.create(K, W, SEED)
     mesh = build_mesh()
+
+    # ---- backend auto-probe (see chip-rate section) runs FIRST so the
+    # e2e pipeline also uses the winner (compact_backend_default reads
+    # MODIMIZER_COMPACT per call) ----
+    be_best = _chip_probe(sh, mesh, log)
+    os.environ.setdefault("MODIMIZER_COMPACT", be_best)
 
     # ---- end-to-end pipeline (parse-ahead -> device scan -> exact table) --
     from modimizer_tpu.io.stream_seq import iter_fasta_batches
@@ -144,52 +221,7 @@ def tpu_rate(fa: Path, c_entries: int = 0) -> float:
     # (block_until_ready does not actually synchronize under the axon
     # tunnel, so each step consumes the previous step's count and the
     # chain's final scalar is pulled to host)
-    from modimizer_tpu.ops.packed import pack_bits, pack_sw
-    from modimizer_tpu.parallel.sharded import _scan_compact_local
-    b2 = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 24)
-    C = b2.chunk
-    # resident-data microbench: random codes (the compact step's cost is
-    # shape-fixed, independent of emit pattern)
-    codes = np.random.default_rng(1).integers(
-        0, 4, size=C + K - 1).astype(np.uint8)
-    sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
-    vb_d = jnp.asarray(pack_bits(np.ones(min(C, len(codes)), bool), C // 64))
-
-    def make_step(be):
-        def step(dep):
-            swx = sw_d.at[0].set(
-                sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
-            return _scan_compact_local(swx, vb_d, k=K, w=W,
-                                       factor1=sh.factor1, C=C, bo=b2.bo,
-                                       backend=be)
-        return step
-
-    # auto-probe the bit-identical compaction backends (docs/PERF.md has
-    # the ablation history; the cube-free ones were built after the last
-    # healthy chip window) and measure with the winner.  MODIMIZER_COMPACT
-    # set explicitly skips the probe.
-    if os.environ.get("MODIMIZER_COMPACT"):
-        cands = (os.environ["MODIMIZER_COMPACT"],)
-    else:
-        cands = ("onehot_i8", "posgather", "gather")
-    probe = {}
-    for be in cands:
-        st = make_step(be)
-        dep = jnp.int64(0)
-        out = st(dep)
-        int(np.asarray(out[2]))  # compile + warm + true sync
-        t0 = time.perf_counter()
-        dep = jnp.int64(0)
-        for _ in range(4):
-            out = st(dep)
-            dep = out[2]
-        int(np.asarray(dep))
-        probe[be] = time.perf_counter() - t0
-    be_best = min(probe, key=probe.get)
-    if len(cands) > 1:
-        log("backend probe: " + ", ".join(
-            f"{b}:{probe[b]/4*1e3:.1f}ms" for b in cands)
-            + f" -> {be_best}")
+    make_step, C = _chip_apparatus(sh, mesh)
     step = make_step(be_best)
     reps = 16
     best = None
