@@ -127,16 +127,18 @@ def _chip_apparatus(sh, mesh):
 
 def _chip_probe(sh, mesh, logf):
     """Time each bit-identical compaction backend for 4 chained steps and
-    return the fastest (the cube-free ones were built after the last
-    healthy chip window — never flip defaults blind).  An explicit
-    MODIMIZER_COMPACT skips the probe."""
+    return the fastest (never flip defaults blind).  An explicit
+    MODIMIZER_COMPACT skips the probe.  The round-4 chip ablation
+    (scripts/bench_compact.py) retired posgather/gather as candidates:
+    both run at 230 ms/2^24 on the v5e (gathers serialize), vs fused
+    9.2 ms / onehot_i8 11.0 ms."""
     import jax.numpy as jnp
     import numpy as np
     make_step, _C = _chip_apparatus(sh, mesh)
     if os.environ.get("MODIMIZER_COMPACT"):
         cands = (os.environ["MODIMIZER_COMPACT"],)
     else:
-        cands = ("onehot_i8", "posgather", "gather")
+        cands = ("fused", "onehot_i8")
     probe = {}
     for be in cands:
         st = make_step(be)

@@ -131,7 +131,7 @@ def _scan_kmers_body(sw, vbits, *, k, w, factor1, bo, cap, front=None):
     valid = _expand_valid(vbits, C)
     out_k, out_meta, n_emit, overflow = _scan_compact_core(
         sw, valid, k=k, w=w, factor1=factor1, C=C, bo=bo, meta_isf=False,
-        front=front)
+        front=front, vbits=vbits)
     live = out_meta != jnp.uint32(0xFFFFFFFF)
     if k <= 16:
         out_k = out_k.astype(jnp.uint32)

@@ -244,6 +244,178 @@ def _scan_front_u32(sw, *, k, factor1, C):
     return hashes, kmers, pos, isF
 
 
+def _scan_front_bcast16(sw, *, k, factor1, C):
+    """Broadcast scan front for k <= 16 in [16, 2, NW] layout (NW = C/32;
+    element [s, par, i] = stream position 32 i + 16 par + s).
+
+    Bit-exact to _scan_front_u32 but with NO per-phase rows: the stream
+    rides as four [2, NW] u32 word planes (axis 0 = the u32-half parity of
+    the funnel start word — avoiding any [N, 2]-minor interleave, whose
+    2-lane tiling wastes 98% of the VPU), the 16 funnel phases ride the
+    SUBLANE axis, and the shift amount is a broadcasted iota — so the
+    whole front is ONE fused elementwise expression.  The 32-row
+    jnp.stack of the funnel fronts was a materialized concatenate
+    (1.7 ms/2^24 on v5e, round-4 profile); this formulation has no big
+    concatenate at all.
+
+    Position p = 32 i + 16 par + s with j = 2 i + par:
+      fwd(p) = P[j] << 2s | P[j+1] >> (32-2s),  P = [hi, lo] pairs of sw
+      rc(p)  = Z[j] >> 2s | Z[j+1] << (32-2s),  Z = [lo, hi] pairs of tw
+
+    Returns (hashes u32, kmers u32, isF bool), all [16, 2, NW]."""
+    assert k <= 16
+    NW = C // 32
+    tw = derive_tw(sw)
+    hi = (sw >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = sw.astype(jnp.uint32)
+    thi = (tw >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = tw.astype(jnp.uint32)
+    # P[j]/P[j+1] and Z[j]/Z[j+1] by parity of j = 2i + par:
+    pa = jnp.stack([hi[:NW], lo[:NW]], axis=0)[None]          # [1, 2, NW]
+    pb = jnp.stack([lo[:NW], hi[1:NW + 1]], axis=0)[None]
+    za = jnp.stack([tlo[:NW], thi[:NW]], axis=0)[None]
+    zb = jnp.stack([thi[:NW], tlo[1:NW + 1]], axis=0)[None]
+    s2 = jax.lax.broadcasted_iota(jnp.uint32, (16, 2, NW), 0) * jnp.uint32(2)
+    inv = jnp.uint32(32) - s2
+    zero = s2 == jnp.uint32(0)
+    kf = jnp.where(zero, pa, (pa << s2) | (pb >> inv))
+    kr = jnp.where(zero, za, (za >> s2) | (zb << inv))
+    if k < 16:
+        kshift = jnp.uint32(32 - 2 * k)
+        mask2k = jnp.uint32((1 << (2 * k)) - 1)
+        kf = kf >> kshift
+        kr = kr & mask2k
+        hf = _hash32_hi(kf, factor1) >> kshift
+        hr = _hash32_hi(kr, factor1) >> kshift
+    else:
+        hf = _hash32_hi(kf, factor1)
+        hr = _hash32_hi(kr, factor1)
+    isF = hf < hr
+    hashes = jnp.where(isF, hf, hr)
+    kmers = jnp.where(isF, kf, kr)
+    return hashes, kmers, isF
+
+
+def _valid16(valid, C):
+    """[32, NW] validity ([r, i] = pos 32i+r) -> [16, 2, NW] ([s, par, i] =
+    pos 32i+16par+s): a pure index shuffle that fuses into consumers."""
+    NW = C // 32
+    return valid.reshape(2, 16, NW).transpose(1, 0, 2)
+
+
+def _scan_compact_fused(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
+                        posmajor=True, vbits=None):
+    """Fused scan+compact step for k <= 16 (backend "fused") — same output
+    contract as the other backends, restructured so XLA materializes almost
+    nothing (round-4 profile of onehot_i8: 1.7 ms front concatenate +
+    2.6 ms of s8 limb-plane retiles + 0.9 ms reassembly around a 1.5 ms
+    one-hot dot):
+
+    - the front is _scan_front_bcast16 (no stacks, no concatenates);
+    - the dot's cols operand is ONE elementwise expression (broadcast the
+      kmer/meta planes along a new minor axis, iota-selected shifts), so
+      XLA fuses limb generation into the dot operand exactly like it
+      already fuses the one-hot side — no s8 plane retiles;
+    - the pos column is compacted as a BLOCK-LOCAL 2-limb meta (the block
+      base is reconstructed linearly afterwards), so ncols drops 8 -> 6.
+
+    posmajor=True: blocks are contiguous position ranges and rows leave in
+    exact stream order — bit-identical to the onehot backends' posmajor
+    path.  posmajor=False skips the transpose; blocks are then [16, 2, NW]
+    row-major stripes (stride-32 position groups), a DIFFERENT but equally
+    legal partition (consumers are order-free; rows carry true positions).
+    """
+    assert k <= 16
+    nb = C // BLK
+    NW = C // 32
+    hashes, kmers, isF = _scan_front_bcast16(sw, k=k, factor1=factor1, C=C)
+    if vbits is not None:
+        # [16, 2, NW] validity straight from the packed bit-words: bit
+        # (16 par + s) of the u32 half-word i.  The u64->u32 view is a
+        # bitcast (little-endian halves ARE the per-32-position words in
+        # order), and the reshape + bit test fuse into the emit AND —
+        # nothing materializes, unlike _expand_valid's stacked concat.
+        v32 = jax.lax.bitcast_convert_type(vbits, jnp.uint32).reshape(NW)
+        bit = (jax.lax.broadcasted_iota(jnp.uint32, (16, 2, NW), 1)
+               * jnp.uint32(16)
+               + jax.lax.broadcasted_iota(jnp.uint32, (16, 2, NW), 0))
+        valid16 = ((v32[None, None, :] >> bit) & jnp.uint32(1)).astype(
+            jnp.bool_)
+    else:
+        valid16 = _valid16(valid, C)
+    emit = valid16 & mod_is_zero(hashes, w)
+    # reshape to block shape BEFORE the staging barrier so the retile fuses
+    # into the front's elementwise loop instead of materializing as a
+    # standalone relayout (measured ~1 ms/2^24 the other way round)
+    if posmajor:
+        def blk(x):                      # pos-major: [i, par, s] flatten
+            return x.transpose(2, 1, 0).reshape(nb, BLK)
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1)
+        base = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0) \
+            * jnp.uint32(BLK)
+    else:
+        def blk(x):                      # row-major [s, par, i] stripes
+            return x.reshape(nb, BLK)
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
+            * jnp.uint32(32)
+        ipb = NW // BLK                  # blocks per (s, par) row
+        brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
+        base = ((brow % jnp.uint32(ipb)) * jnp.uint32(32 * BLK)
+                + (brow // jnp.uint32(ipb)) % jnp.uint32(2) * jnp.uint32(16)
+                + brow // jnp.uint32(2 * ipb))
+    stage = os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0"
+    if meta_isf:
+        km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
+        if stage:
+            km2, isf2, e2 = jax.lax.optimization_barrier((km2, isf2, e2))
+        lm2 = (lpos << jnp.uint32(1)) | isf2.astype(jnp.uint32)
+        base = base << jnp.uint32(1)
+    else:
+        # isF is dead here (kmers-only consumers): keep it out of the
+        # barrier so its plane is never materialized
+        km2, e2 = blk(kmers), blk(emit)
+        if stage:
+            km2, e2 = jax.lax.optimization_barrier((km2, e2))
+        lm2 = lpos
+    # in-block cumsum on the MXU (int8 operands, s32 accumulation)
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+          ).astype(jnp.int8)
+    csum = jax.lax.dot_general(e2.astype(jnp.int8), ut,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    dest = jnp.where(e2, csum - 1, -1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
+    onehot = (dest[:, None, :] == slots).astype(jnp.int8)
+    # cols: biased 8-bit limbs of (kmer u32, local meta u16) as ONE
+    # broadcast expression — c < 4 are kmer limbs (msb first), c in {4, 5}
+    # the meta limbs
+    c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK, 6), 2)
+    ksh = jnp.uint32(24) - jnp.minimum(c3, jnp.uint32(3)) * jnp.uint32(8)
+    msh = jnp.where(c3 == jnp.uint32(4), jnp.uint32(8), jnp.uint32(0))
+    val = jnp.where(c3 < jnp.uint32(4),
+                    km2[:, :, None] >> ksh,
+                    lm2[:, :, None] >> msh) & jnp.uint32(0xFF)
+    cols = (val.astype(jnp.int32) - 128).astype(jnp.int8)
+    out = jax.lax.dot_general(onehot, cols,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    cnts = csum[:, -1]
+    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    o = jnp.where(live[:, :, None], out + 128, 0).astype(jnp.uint32)
+    okmer = ((o[:, :, 0] << jnp.uint32(24)) | (o[:, :, 1] << jnp.uint32(16))
+             | (o[:, :, 2] << jnp.uint32(8)) | o[:, :, 3])
+    olm = (o[:, :, 4] << jnp.uint32(8)) | o[:, :, 5]
+    out_k = jnp.where(live, okmer.astype(jnp.uint64),
+                      U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, base + olm,
+                      jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    # total emits from the per-block counts ([nb] i32) — a full-plane
+    # pred reduce costs ~0.17 ms/2^24 for the same number
+    n_emit = jnp.sum(cnts).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
+
+
 def _expand_valid(vbits, C):
     """[32, NW] validity mask from the packed little-endian bit words:
     vb32[i] holds the bits of positions 32i..32i+31."""
@@ -579,7 +751,7 @@ def _compact_blocks_twolevel(kmers, pos, emit, *, k, C, bo, int8=True):
 
 
 def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
-                       backend=None, posmajor=True, front=None):
+                       backend=None, posmajor=True, front=None, vbits=None):
     """Single-device scan step with MXU compaction, phase-major layout.
 
     All elementwise work runs on [32, NW] arrays (minor dim NW keeps the
@@ -603,6 +775,16 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     With meta_isf the pos column carries (pos << 1) | isF instead.  Returns
     (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos/meta u32,
     n_emit, overflow)."""
+    backend = backend or compact_backend_default()
+    if backend == "fused":
+        # fused front is u32-only, and its block-local meta rides 2 limbs
+        # (<= 16 bits: lpos<<1|isF < 2*BLK), which caps BLK at 32768
+        if not (k <= 16 and w < (1 << 32) and BLK <= 32768):
+            backend = "onehot_i8"     # same math, wider-shape fallback
+        else:
+            return _scan_compact_fused(sw, valid, k=k, w=w, factor1=factor1,
+                                       C=C, bo=bo, meta_isf=meta_isf,
+                                       posmajor=posmajor, vbits=vbits)
     front = front or front_backend_default()
     if k <= 16 and w < (1 << 32) and front == "u32":
         hashes, kmers, pos, isF = _scan_front_u32(sw, k=k, factor1=factor1,
@@ -612,7 +794,6 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     if meta_isf:
         pos = (pos << jnp.uint32(1)) | isF.astype(jnp.uint32)
     emit = valid & mod_is_zero(hashes, w)
-    backend = backend or compact_backend_default()
     if backend in ("posgather", "posgather_cmp"):
         # kmers/pos/isF planes are dead code here (XLA DCE drops them):
         # the backend re-derives rows from sw at emitted positions only
@@ -700,7 +881,7 @@ def _scan_compact_local(sw, vbits, *, k, w, factor1, C, bo, backend=None,
     # builder path: consumers sort downstream, skip the posmajor transpose
     return _scan_compact_core(sw, _expand_valid(vbits, C), k=k, w=w,
                               factor1=factor1, C=C, bo=bo, backend=backend,
-                              posmajor=False, front=front)
+                              posmajor=False, front=front, vbits=vbits)
 
 
 @functools.partial(jax.jit,
@@ -713,7 +894,8 @@ def _scan_compact_local_packed(buf, *, k, w, factor1, C, bo):
     sw = buf[:NW + 2]
     vb = buf[NW + 2:NW + 2 + C // 64]
     return _scan_compact_core(sw, _expand_valid(vb, C), k=k, w=w,
-                              factor1=factor1, C=C, bo=bo, posmajor=False)
+                              factor1=factor1, C=C, bo=bo, posmajor=False,
+                              vbits=vb)
 
 
 @functools.partial(jax.jit,

@@ -66,11 +66,36 @@ def main():
                                 jnp.uint64(0)))
         return n + chk.astype(jnp.int64)
 
+    @jax.jit
+    def front_b16(swx, vb):
+        """The fused backend's bcast16 front alone ([16, 2, NW] layout +
+        packed-bit validity), reduced the same way — fused minus this is
+        the fused compaction cost."""
+        from modimizer_tpu.parallel.sharded import _scan_front_bcast16
+        NW = C // 32
+        hashes, kmers, isF = _scan_front_bcast16(swx, k=K, factor1=sh.factor1,
+                                                 C=C)
+        v32 = jax.lax.bitcast_convert_type(vb, jnp.uint32).reshape(NW)
+        bit = (jax.lax.broadcasted_iota(jnp.uint32, (16, 2, NW), 1)
+               * jnp.uint32(16)
+               + jax.lax.broadcasted_iota(jnp.uint32, (16, 2, NW), 0))
+        emit = (((v32[None, None, :] >> bit) & jnp.uint32(1)).astype(
+            jnp.bool_) & mod_is_zero(hashes, W))
+        n = jnp.sum(emit).astype(jnp.int64)
+        chk = jnp.sum(jnp.where(emit, kmers.astype(jnp.uint64),
+                                jnp.uint64(0)))
+        return n + chk.astype(jnp.int64)
+
     ref = None
     for be in BACKENDS:
-        # "front"/"front32" = front-only floors; "<backend>@u32" runs a
-        # compaction backend over the u32 front (MODIMIZER_FRONT=u32)
-        if be in ("front", "front32"):
+        # "front"/"front32"/"frontb16" = front-only floors; "<backend>@u32"
+        # runs a compaction backend over the u32 front (MODIMIZER_FRONT=u32)
+        if be == "frontb16":
+            def step(dep):
+                swx = sw_d.at[0].set(
+                    sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+                return None, None, front_b16(swx, vb_d), None
+        elif be in ("front", "front32"):
             def step(dep, be=be):
                 swx = sw_d.at[0].set(
                     sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
@@ -90,13 +115,22 @@ def main():
         out = step(jnp.int64(0))
         n = int(np.asarray(out[2]))
         t_compile = time.perf_counter() - t0
-        if be in ("front", "front32"):
+        if be in ("front", "front32", "frontb16"):
             match = "n/a"
         else:
             host = tuple(np.asarray(x) for x in out[:2])
             if ref is None:
                 ref = host
                 match = "ref"
+            elif be.startswith("fused"):
+                # fused uses a different (legal) block partition at
+                # posmajor=False: compare live rows as a multiset
+                def rows(t):
+                    lv = t[1] != 0xFFFFFFFF
+                    a = np.stack([t[0][lv], t[1][lv].astype(np.uint64)])
+                    return a[:, np.lexsort(a)]
+                match = ("MATCH*" if np.array_equal(rows(ref), rows(host))
+                         else "DIFF!")
             else:
                 match = ("MATCH" if all(np.array_equal(a, b)
                                         for a, b in zip(ref, host))
