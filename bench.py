@@ -112,14 +112,36 @@ def _chip_apparatus(sh, mesh):
         vb_d = jnp.asarray(pack_bits(np.ones(min(C, len(codes)), bool),
                                      C // 64))
 
-        def make_step(be):
-            def step(dep):
-                swx = sw_d.at[0].set(
-                    sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
-                return _scan_compact_local(swx, vb_d, k=K, w=W,
-                                           factor1=sh.factor1, C=C,
-                                           bo=b2.bo, backend=be)
-            return step
+        def make_step(be, scan_n=1):
+            if scan_n == 1:
+                def step(dep):
+                    swx = sw_d.at[0].set(
+                        sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+                    return _scan_compact_local(swx, vb_d, k=K, w=W,
+                                               factor1=sh.factor1, C=C,
+                                               bo=b2.bo, backend=be)
+                return step
+
+            # scan_n chained steps inside ONE XLA program: measures the
+            # device-resident pipeline rate with no per-program dispatch
+            # gap (~2 ms/step through the axon tunnel, round-4 ablation).
+            # Outputs are folded into the carry so nothing is dead code.
+            import jax
+
+            @jax.jit
+            def multi(dep):
+                def body(carry, _):
+                    swx = sw_d.at[0].set(
+                        sw_d[0] ^ (carry.astype(jnp.uint64) & jnp.uint64(1)))
+                    ok, op, n, _ov = _scan_compact_local(
+                        swx, vb_d, k=K, w=W, factor1=sh.factor1, C=C,
+                        bo=b2.bo, backend=be)
+                    chk = (n + jnp.sum(op.astype(jnp.uint64)).astype(
+                        jnp.int64) + jnp.sum(ok).astype(jnp.int64))
+                    return carry + chk, None
+                c, _ = jax.lax.scan(body, dep, None, length=scan_n)
+                return None, None, c, None
+            return multi
 
         _CHIP = (make_step, C)
     return _CHIP
@@ -138,7 +160,7 @@ def _chip_probe(sh, mesh, logf):
     if os.environ.get("MODIMIZER_COMPACT"):
         cands = (os.environ["MODIMIZER_COMPACT"],)
     else:
-        cands = ("fused", "onehot_i8")
+        cands = ("fusedb", "fused", "onehot_i8")
     probe = {}
     for be in cands:
         st = make_step(be)
@@ -222,25 +244,32 @@ def _tpu_rate_impl(fa, c_entries):
     # ---- chip rate: dependency-chained steps on resident data ----
     # (block_until_ready does not actually synchronize under the axon
     # tunnel, so each step consumes the previous step's count and the
-    # chain's final scalar is pulled to host)
+    # chain's final scalar is pulled to host).  The steps are chained
+    # INSIDE one lax.scan program: per-program dispatch adds ~2 ms/step
+    # through the tunnel that a double-buffered production feed would
+    # pipeline away (round-4 ablation, docs/PERF.md).
     make_step, C = _chip_apparatus(sh, mesh)
-    step = make_step(be_best)
-    reps = 16
+    scan_n = int(os.environ.get("MODIMIZER_BENCH_SCANSTEPS", "8"))
+    step = make_step(be_best, scan_n=scan_n)
+    outer = 2
+    out = step(jnp.int64(0))
+    int(np.asarray(out[2]))   # compile + warm outside the timed window
     best = None
     for _batch in range(5):  # best-of-5: same-program step times swing
         # 11-18 ms across hours on this shared chip (docs/PERF.md r3)
         t0 = time.perf_counter()
         dep = jnp.int64(0)
-        for _ in range(reps):
+        for _ in range(outer):
             out = step(dep)
             dep = out[2]
         int(np.asarray(dep))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+    reps = outer * scan_n
     chip = reps * C / best
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
-        f"({best/reps*1e3:.1f} ms/step of {C}, best of 5 batches, "
-        f"backend {be_best})")
+        f"({best/reps*1e3:.1f} ms/step of {C}, best of 5 batches of "
+        f"{outer}x scan({scan_n}), backend {be_best})")
     return chip
 
 

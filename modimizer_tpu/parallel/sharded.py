@@ -377,6 +377,14 @@ def _scan_compact_fused(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
         if stage:
             km2, e2 = jax.lax.optimization_barrier((km2, e2))
         lm2 = lpos
+    return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
+
+
+def _fused_compact_tail(km2, lm2, e2, base, *, bo):
+    """MXU compaction shared by the fused backends: km2/lm2/e2 are
+    [nb, BLK] (kmer u32, block-local meta u16, emit bool), base [nb, 1]
+    is the per-block meta offset.  Returns the standard backend 4-tuple."""
+    nb = km2.shape[0]
     # in-block cumsum on the MXU (int8 operands, s32 accumulation)
     ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
           <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
@@ -387,25 +395,45 @@ def _scan_compact_fused(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     dest = jnp.where(e2, csum - 1, -1)
     slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
     onehot = (dest[:, None, :] == slots).astype(jnp.int8)
-    # cols: biased 8-bit limbs of (kmer u32, local meta u16) as ONE
-    # broadcast expression — c < 4 are kmer limbs (msb first), c in {4, 5}
-    # the meta limbs
-    c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK, 6), 2)
-    ksh = jnp.uint32(24) - jnp.minimum(c3, jnp.uint32(3)) * jnp.uint32(8)
-    msh = jnp.where(c3 == jnp.uint32(4), jnp.uint32(8), jnp.uint32(0))
-    val = jnp.where(c3 < jnp.uint32(4),
-                    km2[:, :, None] >> ksh,
-                    lm2[:, :, None] >> msh) & jnp.uint32(0xFF)
-    cols = (val.astype(jnp.int32) - 128).astype(jnp.int8)
-    out = jax.lax.dot_general(onehot, cols,
-                              (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.int32)
     cnts = csum[:, -1]
     live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
-    o = jnp.where(live[:, :, None], out + 128, 0).astype(jnp.uint32)
-    okmer = ((o[:, :, 0] << jnp.uint32(24)) | (o[:, :, 1] << jnp.uint32(16))
-             | (o[:, :, 2] << jnp.uint32(8)) | o[:, :, 3])
-    olm = (o[:, :, 4] << jnp.uint32(8)) | o[:, :, 5]
+    # cols: biased 8-bit limbs of (kmer u32, local meta u16) as ONE
+    # broadcast expression — c < 4 are kmer limbs (msb first), c in {4, 5}
+    # the meta limbs.  The limb axis rides SUBLANES ([nb, 6, BLK] and the
+    # dot emits [nb, 6, bo]): with the limb axis minor, every
+    # generate/reassemble fusion ran at 6/128 lane occupancy — a stable
+    # 1.5 ms/2^24 of the step (round-4 trace, select_convert_fusion).
+    if os.environ.get("MODIMIZER_FUSED_COLS", "t") == "t":
+        c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, 6, BLK), 1)
+        ksh = jnp.uint32(24) - jnp.minimum(c3, jnp.uint32(3)) * jnp.uint32(8)
+        msh = jnp.where(c3 == jnp.uint32(4), jnp.uint32(8), jnp.uint32(0))
+        val = jnp.where(c3 < jnp.uint32(4),
+                        km2[:, None, :] >> ksh,
+                        lm2[:, None, :] >> msh) & jnp.uint32(0xFF)
+        cols = (val.astype(jnp.int32) - 128).astype(jnp.int8)
+        out = jax.lax.dot_general(cols, onehot,
+                                  (((2,), (2,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.int32)
+        o = jnp.where(live[:, None, :], out + 128, 0).astype(jnp.uint32)
+        okmer = ((o[:, 0] << jnp.uint32(24)) | (o[:, 1] << jnp.uint32(16))
+                 | (o[:, 2] << jnp.uint32(8)) | o[:, 3])
+        olm = (o[:, 4] << jnp.uint32(8)) | o[:, 5]
+    else:
+        c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK, 6), 2)
+        ksh = jnp.uint32(24) - jnp.minimum(c3, jnp.uint32(3)) * jnp.uint32(8)
+        msh = jnp.where(c3 == jnp.uint32(4), jnp.uint32(8), jnp.uint32(0))
+        val = jnp.where(c3 < jnp.uint32(4),
+                        km2[:, :, None] >> ksh,
+                        lm2[:, :, None] >> msh) & jnp.uint32(0xFF)
+        cols = (val.astype(jnp.int32) - 128).astype(jnp.int8)
+        out = jax.lax.dot_general(onehot, cols,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.int32)
+        o = jnp.where(live[:, :, None], out + 128, 0).astype(jnp.uint32)
+        okmer = ((o[:, :, 0] << jnp.uint32(24))
+                 | (o[:, :, 1] << jnp.uint32(16))
+                 | (o[:, :, 2] << jnp.uint32(8)) | o[:, :, 3])
+        olm = (o[:, :, 4] << jnp.uint32(8)) | o[:, :, 5]
     out_k = jnp.where(live, okmer.astype(jnp.uint64),
                       U64_SENTINEL).reshape(-1)
     out_p = jnp.where(live, base + olm,
@@ -414,6 +442,94 @@ def _scan_compact_fused(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     # pred reduce costs ~0.17 ms/2^24 for the same number
     n_emit = jnp.sum(cnts).astype(jnp.int64)
     return out_k, out_p, n_emit, jnp.any(cnts > bo)
+
+
+def _scan_compact_fused_blocks(sw, vbits, *, k, w, factor1, C, bo,
+                               meta_isf=False):
+    """Fused scan+compact with the front BORN in block shape (backend
+    "fusedb", k <= 16, stripe partition only — the posmajor=False
+    contract).  The round-4 trace of "fused" showed its remaining fat is
+    ~2.4 ms/2^24 of [16, 2, NW] -> [nb, BLK] relayouts: a transpose-free
+    reshape still materializes because the [.., 2, NW] tiling wastes 3/4
+    of each (8, 128) sublane tile.  Here every big tensor starts as
+    [16, 2, ipb, BLK]: the four u32 word planes are [1, 2, ipb, BLK]
+    row-broadcasts (4 MB each, trivially tiled), the funnel shift rides
+    the size-16 leading broadcast axis, validity bits come from the
+    packed words with a per-(s, par) bit index, and the flatten to
+    [nb, BLK] merges MAJOR dims only — a layout no-op XLA folds into the
+    consumer.  Output rows/meta/base are identical to fused@posmajor=False
+    (element [s, par, i] = position 32 i + 16 par + s; block row
+    b = (2 s + par) ipb + i//BLK).
+
+    Matches seqhash.c:170-196 modimizer semantics, same bit-exactness
+    contract as the other backends (verified multiset-identical)."""
+    assert k <= 16
+    NW = C // 32
+    nb = C // BLK
+    ipb = NW // BLK
+    tw = derive_tw(sw)
+    hi = (sw >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = sw.astype(jnp.uint32)
+    thi = (tw >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = tw.astype(jnp.uint32)
+
+    def planes(p0, p1):                       # [1, 2, ipb, BLK] word plane
+        return jnp.stack([p0, p1], 0).reshape(1, 2, ipb, BLK)
+
+    pa = planes(hi[:NW], lo[:NW])             # P[j],  j = 2i + par
+    pb = planes(lo[:NW], hi[1:NW + 1])        # P[j+1]
+    za = planes(tlo[:NW], thi[:NW])           # Z[j]
+    zb = planes(thi[:NW], tlo[1:NW + 1])      # Z[j+1]
+    s2 = (jax.lax.broadcasted_iota(jnp.uint32, (16, 1, 1, 1), 0)
+          * jnp.uint32(2))
+    inv = jnp.uint32(32) - s2
+    zero = s2 == jnp.uint32(0)
+    kf = jnp.where(zero, pa, (pa << s2) | (pb >> inv))
+    kr = jnp.where(zero, za, (za >> s2) | (zb << inv))
+    if k < 16:
+        kshift = jnp.uint32(32 - 2 * k)
+        mask2k = jnp.uint32((1 << (2 * k)) - 1)
+        kf = kf >> kshift
+        kr = kr & mask2k
+        hf = _hash32_hi(kf, factor1) >> kshift
+        hr = _hash32_hi(kr, factor1) >> kshift
+    else:
+        hf = _hash32_hi(kf, factor1)
+        hr = _hash32_hi(kr, factor1)
+    isF = hf < hr
+    hashes = jnp.where(isF, hf, hr)
+    kmers = jnp.where(isF, kf, kr)
+    # validity bit (16 par + s) of packed u32 half-word i (see fused)
+    v32 = jax.lax.bitcast_convert_type(vbits, jnp.uint32).reshape(
+        1, 1, ipb, BLK)
+    bit = (jax.lax.broadcasted_iota(jnp.uint32, (16, 1, 1, 1), 0)
+           + jax.lax.broadcasted_iota(jnp.uint32, (1, 2, 1, 1), 1)
+           * jnp.uint32(16))
+    valid = ((v32 >> bit) & jnp.uint32(1)).astype(jnp.bool_)
+    emit = valid & mod_is_zero(hashes, w)
+
+    def blk(x):                               # major-dim merge: layout no-op
+        return x.reshape(nb, BLK)
+
+    lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
+        * jnp.uint32(32)
+    brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
+    base = ((brow % jnp.uint32(ipb)) * jnp.uint32(32 * BLK)
+            + (brow // jnp.uint32(ipb)) % jnp.uint32(2) * jnp.uint32(16)
+            + brow // jnp.uint32(2 * ipb))
+    stage = os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0"
+    if meta_isf:
+        km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
+        if stage:
+            km2, isf2, e2 = jax.lax.optimization_barrier((km2, isf2, e2))
+        lm2 = (lpos << jnp.uint32(1)) | isf2.astype(jnp.uint32)
+        base = base << jnp.uint32(1)
+    else:
+        km2, e2 = blk(kmers), blk(emit)
+        if stage:
+            km2, e2 = jax.lax.optimization_barrier((km2, e2))
+        lm2 = lpos
+    return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
 
 
 def _expand_valid(vbits, C):
@@ -429,12 +545,14 @@ def _expand_valid(vbits, C):
 
 def compact_backend_default():
     """Compaction backend policy (overridable with MODIMIZER_COMPACT).
-    int8 one-hot (biased limbs, s32 accumulation) measured fastest in both
-    round-3 chip sessions (11.25 / 12.28 ms vs 13.5 / 14.1 bf16 and
-    13.1 / 14.5 two-level per 2^24 positions — docs/PERF.md round-3
-    ablation); halving the one-hot cube's operand bytes wins, a second
-    compaction level does not."""
-    return os.environ.get("MODIMIZER_COMPACT", "onehot_i8")
+    Round-4 chip ablation (docs/PERF.md): the fused family beats the
+    round-3 winner onehot_i8 — fusedb (front born in block shape)
+    5.6 ms/2^24 device-op time vs fused 7.3 vs onehot_i8 9.1; wall
+    9.9/10.1/11.9 in the same congested window.  "fusedb" falls back to
+    "fused" where its stripe-partition gate fails (posmajor=True stream
+    order, no packed validity, C < 32*BLK) and further to "onehot_i8"
+    for k > 16 / huge w / huge BLK, so it is safe as the global default."""
+    return os.environ.get("MODIMIZER_COMPACT", "fusedb")
 
 
 def _stage_fronts(kmers, pos, emit, k):
@@ -776,15 +894,30 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos/meta u32,
     n_emit, overflow)."""
     backend = backend or compact_backend_default()
+    if backend == "fusedb":
+        # born-in-block front: stripe partition only (posmajor=False),
+        # needs the packed validity words and C >= 32*BLK so blocks tile
+        # whole (s, par) rows; otherwise fall through to plain fused
+        if (not posmajor and vbits is not None and k <= 16
+                and w < (1 << 32) and BLK <= 32768 and C >= 32 * BLK):
+            return _scan_compact_fused_blocks(sw, vbits, k=k, w=w,
+                                              factor1=factor1, C=C, bo=bo,
+                                              meta_isf=meta_isf)
+        backend = "fused"
     if backend == "fused":
         # fused front is u32-only, and its block-local meta rides 2 limbs
         # (<= 16 bits: lpos<<1|isF < 2*BLK), which caps BLK at 32768
         if not (k <= 16 and w < (1 << 32) and BLK <= 32768):
             backend = "onehot_i8"     # same math, wider-shape fallback
         else:
+            # the stripe partition's base math needs whole (s, par) rows
+            # per block (ipb = NW//BLK >= 1); for small chunks fall back
+            # to the position-major transpose — stream order is always a
+            # legal partition for the order-free consumers too
             return _scan_compact_fused(sw, valid, k=k, w=w, factor1=factor1,
                                        C=C, bo=bo, meta_isf=meta_isf,
-                                       posmajor=posmajor, vbits=vbits)
+                                       posmajor=(posmajor or C < 32 * BLK),
+                                       vbits=vbits)
     front = front or front_backend_default()
     if k <= 16 and w < (1 << 32) and front == "u32":
         hashes, kmers, pos, isF = _scan_front_u32(sw, k=k, factor1=factor1,

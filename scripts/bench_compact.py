@@ -39,6 +39,7 @@ BACKENDS = sys.argv[2:] or ["onehot", "onehot_i8", "twolevel_i8"]
 BO = scan_bo(W)
 REPS = 16
 BATCHES = 3
+SCAN_N = int(os.environ.get("MODIMIZER_SCANSTEPS", "1"))
 
 
 def main():
@@ -101,6 +102,30 @@ def main():
                     sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
                 s = front_only(swx, vb_d, u32=(be == "front32"))
                 return None, None, s, None
+        elif SCAN_N > 1:
+            # MODIMIZER_SCANSTEPS=N: run N chained steps inside ONE jitted
+            # lax.scan program — no per-program dispatch/launch gap, the
+            # device-resident pipeline rate (what a double-buffered DMA
+            # feed sustains on a real TPU host).  Outputs are consumed by
+            # a checksum reduce so nothing is dead code.
+            cbe, _, fr = be.partition("@")
+
+            @jax.jit
+            def multi(dep, cbe=cbe, fr=fr):
+                def body(carry, _):
+                    swx = sw_d.at[0].set(
+                        sw_d[0] ^ (carry.astype(jnp.uint64) & jnp.uint64(1)))
+                    ok, op, n, ov = _scan_compact_local(
+                        swx, vb_d, k=K, w=W, factor1=sh.factor1, C=C, bo=BO,
+                        backend=cbe, front=(fr or None))
+                    chk = (n + jnp.sum(op.astype(jnp.uint64)).astype(jnp.int64)
+                           + jnp.sum(ok).astype(jnp.int64))
+                    return carry + chk, None
+                c, _ = jax.lax.scan(body, dep, None, length=SCAN_N)
+                return None, None, c, None
+
+            def step(dep, multi=multi):
+                return multi(dep)
         else:
             cbe, _, fr = be.partition("@")
             def step(dep, cbe=cbe, fr=fr):
@@ -115,7 +140,7 @@ def main():
         out = step(jnp.int64(0))
         n = int(np.asarray(out[2]))
         t_compile = time.perf_counter() - t0
-        if be in ("front", "front32", "frontb16"):
+        if be in ("front", "front32", "frontb16") or SCAN_N > 1:
             match = "n/a"
         else:
             host = tuple(np.asarray(x) for x in out[:2])
@@ -136,17 +161,19 @@ def main():
                                         for a, b in zip(ref, host))
                          else "DIFF!")
         best = None
+        outer = max(1, REPS // SCAN_N)
         for _ in range(BATCHES):
             dep = jnp.int64(0)
             t0 = time.perf_counter()
-            for _ in range(REPS):
+            for _ in range(outer):
                 out = step(dep)
                 dep = out[2]
             int(np.asarray(dep))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        ms = best / REPS * 1e3
-        rate = C / (best / REPS) / 1e6
+        nstep = outer * (SCAN_N if SCAN_N > 1 else 1)
+        ms = best / nstep * 1e3
+        rate = C / (best / nstep) / 1e6
         print(f"{be:14s} {ms:7.2f} ms/step  {rate:8.0f} Mpos/s  "
               f"(compile {t_compile:.1f}s, {n} emits, {match})")
 

@@ -85,6 +85,46 @@ def test_compact_backends_bit_identical(k, w, bo):
         else:
             for a, b in zip(ref, out):
                 assert np.array_equal(a, b), be
+    # the fused backends use a different (legal) block partition on this
+    # posmajor=False path: rows must match as a (pos, kmer) multiset
+    def row_multiset(t):
+        live = t[1] != np.uint32(0xFFFFFFFF)
+        return sorted(zip(t[1][live].tolist(),
+                          t[0][live].astype(np.uint64).tolist()))
+    want = row_multiset(ref)
+    for be in ["fused", "fusedb"]:
+        out = tuple(np.asarray(x) for x in _scan_compact_local(
+            sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend=be))
+        assert row_multiset(out) == want, be
+        assert int(out[2]) == int(ref[2]), be
+
+
+@pytest.mark.parametrize("clog", [11, 12, 15, 17])
+def test_fused_small_chunks_multiset(clog):
+    """Regression: C < 32*BLK used to hit the stripe base math with
+    ipb = NW//BLK = 0 (y % 0 garbage positions) once fused became
+    reachable as a default; such chunks must take the position-major
+    fused path and still match onehot_i8 exactly as a multiset."""
+    k, w = 16, 16
+    f1 = 0x9E3779B97F4A7C15 | 1
+    C = 1 << clog
+    rng = np.random.default_rng(clog)
+    codes = rng.integers(0, 4, C + k - 1).astype(np.uint8)
+    sw = jnp.asarray(pack_sw(codes, C // 32 + 2))
+    vb = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
+    bo = 112
+
+    def row_multiset(t):
+        live = t[1] != np.uint32(0xFFFFFFFF)
+        return sorted(zip(t[1][live].tolist(),
+                          t[0][live].astype(np.uint64).tolist()))
+    ref = tuple(np.asarray(x) for x in _scan_compact_local(
+        sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend="onehot_i8"))
+    for be in ["fused", "fusedb"]:
+        out = tuple(np.asarray(x) for x in _scan_compact_local(
+            sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend=be))
+        assert row_multiset(out) == row_multiset(ref), (be, clog)
+        assert int(out[2]) == int(ref[2]), (be, clog)
 
 
 _BLK_PROBE = r"""
