@@ -160,7 +160,7 @@ def _chip_probe(sh, mesh, logf):
     if os.environ.get("MODIMIZER_COMPACT"):
         cands = (os.environ["MODIMIZER_COMPACT"],)
     else:
-        cands = ("fusedb", "fused", "onehot_i8")
+        cands = ("fusedc", "fusedb", "onehot_i8")
     probe = {}
     for be in cands:
         st = make_step(be)

@@ -31,7 +31,7 @@ from ..utils import profiling
 DEFAULT_CHUNK = 1 << 25  # 32 Mbase per device dispatch
 BLOCK = 4096             # positions per compaction block
 import os as _os
-BLK_COMPACT = int(_os.environ.get("MODIMIZER_BLK", "1024"))
+BLK_COMPACT = int(_os.environ.get("MODIMIZER_BLK", "512"))
                          # parallel.sharded.BLK (mirrored here so host-only
                          # CLI paths never import jax just to size buffers)
 if BLK_COMPACT < 128 or (BLK_COMPACT & (BLK_COMPACT - 1)):

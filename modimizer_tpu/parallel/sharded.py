@@ -120,7 +120,7 @@ def sort_u64_with_payload(keys, *payloads):
 # (BLK=512 at w=16: bo 64 vs 112).  Below 512 the MXU's (32, 128) int8 tile
 # padding eats the savings.  Env-overridable for the chip ablation
 # (scripts/bench_compact.py); must be a power of two >= 128.
-BLK = int(os.environ.get("MODIMIZER_BLK", "1024"))
+BLK = int(os.environ.get("MODIMIZER_BLK", "512"))
 if BLK < 128 or (BLK & (BLK - 1)):
     raise ValueError("MODIMIZER_BLK must be a power of two >= 128")
 
@@ -385,13 +385,27 @@ def _fused_compact_tail(km2, lm2, e2, base, *, bo):
     [nb, BLK] (kmer u32, block-local meta u16, emit bool), base [nb, 1]
     is the per-block meta offset.  Returns the standard backend 4-tuple."""
     nb = km2.shape[0]
-    # in-block cumsum on the MXU (int8 operands, s32 accumulation)
-    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-          ).astype(jnp.int8)
-    csum = jax.lax.dot_general(e2.astype(jnp.int8), ut,
-                               (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.int32)
+    if os.environ.get("MODIMIZER_FUSED_TAIL") == "t1":
+        # transposed cumsum: stationary lower-triangular LHS, data RHS —
+        # csum_T[j, b] = #emits at p <= j of block b.  Probes whether the
+        # layout-assignment conflict (dot1 prefers {0,1} fronts, the cols
+        # side wants {1,0}: 0.6 ms/2^24 of retile copies) disappears when
+        # the data operand contracts on its MAJOR axis instead.
+        lt = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+              <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+              ).astype(jnp.int8)
+        csum_t = jax.lax.dot_general(lt, e2.astype(jnp.int8),
+                                     (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+        csum = csum_t.T
+    else:
+        # in-block cumsum on the MXU (int8 operands, s32 accumulation)
+        ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+              <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+              ).astype(jnp.int8)
+        csum = jax.lax.dot_general(e2.astype(jnp.int8), ut,
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
     dest = jnp.where(e2, csum - 1, -1)
     slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
     onehot = (dest[:, None, :] == slots).astype(jnp.int8)
@@ -415,9 +429,23 @@ def _fused_compact_tail(km2, lm2, e2, base, *, bo):
                                   (((2,), (2,)), ((0,), (0,))),
                                   preferred_element_type=jnp.int32)
         o = jnp.where(live[:, None, :], out + 128, 0).astype(jnp.uint32)
-        okmer = ((o[:, 0] << jnp.uint32(24)) | (o[:, 1] << jnp.uint32(16))
-                 | (o[:, 2] << jnp.uint32(8)) | o[:, 3])
-        olm = (o[:, 4] << jnp.uint32(8)) | o[:, 5]
+        if os.environ.get("MODIMIZER_FUSED_PACK", "1") != "0":
+            # single-pass reassembly: the two u32 rebuilds each re-read the
+            # whole [nb, 6, bo] dot output (2 x 44 MB/2^24); packing
+            # (kmer, meta) into ONE u64 [nb, bo] array reads it once and
+            # the unpack touches only 14 MB
+            pk = ((o[:, 0].astype(jnp.uint64) << jnp.uint64(40))
+                  | (o[:, 1].astype(jnp.uint64) << jnp.uint64(32))
+                  | (o[:, 2].astype(jnp.uint64) << jnp.uint64(24))
+                  | (o[:, 3].astype(jnp.uint64) << jnp.uint64(16))
+                  | (o[:, 4].astype(jnp.uint64) << jnp.uint64(8))
+                  | o[:, 5].astype(jnp.uint64))
+            okmer = (pk >> jnp.uint64(16)).astype(jnp.uint32)
+            olm = pk.astype(jnp.uint32) & jnp.uint32(0xFFFF)
+        else:
+            okmer = ((o[:, 0] << jnp.uint32(24)) | (o[:, 1] << jnp.uint32(16))
+                     | (o[:, 2] << jnp.uint32(8)) | o[:, 3])
+            olm = (o[:, 4] << jnp.uint32(8)) | o[:, 5]
     else:
         c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK, 6), 2)
         ksh = jnp.uint32(24) - jnp.minimum(c3, jnp.uint32(3)) * jnp.uint32(8)
@@ -532,6 +560,101 @@ def _scan_compact_fused_blocks(sw, vbits, *, k, w, factor1, C, bo,
     return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
 
 
+def _scan_compact_fused_sublane(sw, vbits, *, k, w, factor1, C, bo,
+                                meta_isf=False):
+    """Fused scan+compact with the funnel-phase axis on SUBLANES (backend
+    "fusedc", k <= 16, stripe partition — same consumer contract as
+    fusedb).  fusedb's remaining fat is ~1.6 ms/2^24 of materialized
+    broadcast+relayout pairs: its [16, 2, ipb, BLK] tensors put the
+    16-phase axis MAJOR-most, XLA picks a T(2,128) tiling for them, and
+    the flatten to [nb, BLK]{T(8,128)} then needs a real retile — so every
+    [1, 2, ipb, BLK] word-plane broadcast materializes at full 67 MB plus
+    a 0.2 ms reshape (round-4 HLO trace: broadcast.287/291/309/313/361 +
+    reshape.32/35/38/41/53).
+
+    Here the axes are [2, ipb, 16, BLK]: the phase axis sits SECOND-MINOR
+    (= the sublane axis under the natural (8, 128) tiling), so the word
+    planes are [2, ipb, 1, BLK] tensors broadcast along sublanes — an
+    in-tile replication XLA fuses for free — and the flatten to [nb, BLK]
+    merges major dims with 16 % 8 == 0, making it a true bitcast (each
+    (8, 128) tile of the 2-D view is a whole tile of the 4-D view).
+
+    Block row b = (par * ipb + ib) * 16 + s holds positions
+    32 (ib BLK + c) + 16 par + s, c = 0..BLK-1: a stride-32 position
+    group, the same partition class as fusedb (order-free consumers;
+    rows carry true positions via base + 32 c).
+
+    Matches seqhash.c:170-196 modimizer semantics; multiset-identical to
+    every other backend (tests/test_scan_compact_backends.py)."""
+    assert k <= 16
+    NW = C // 32
+    nb = C // BLK
+    ipb = NW // BLK
+    tw = derive_tw(sw)
+    hi = (sw >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = sw.astype(jnp.uint32)
+    thi = (tw >> jnp.uint64(32)).astype(jnp.uint32)
+    tlo = tw.astype(jnp.uint32)
+
+    def planes(p0, p1):                       # [2, ipb, 1, BLK] word plane
+        return jnp.stack([p0, p1], 0).reshape(2, ipb, 1, BLK)
+
+    pa = planes(hi[:NW], lo[:NW])             # P[j],  j = 2i + par
+    pb = planes(lo[:NW], hi[1:NW + 1])        # P[j+1]
+    za = planes(tlo[:NW], thi[:NW])           # Z[j]
+    zb = planes(thi[:NW], tlo[1:NW + 1])      # Z[j+1]
+    s2 = (jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 16, 1), 2)
+          * jnp.uint32(2))
+    inv = jnp.uint32(32) - s2
+    zero = s2 == jnp.uint32(0)
+    kf = jnp.where(zero, pa, (pa << s2) | (pb >> inv))
+    kr = jnp.where(zero, za, (za >> s2) | (zb << inv))
+    if k < 16:
+        kshift = jnp.uint32(32 - 2 * k)
+        mask2k = jnp.uint32((1 << (2 * k)) - 1)
+        kf = kf >> kshift
+        kr = kr & mask2k
+        hf = _hash32_hi(kf, factor1) >> kshift
+        hr = _hash32_hi(kr, factor1) >> kshift
+    else:
+        hf = _hash32_hi(kf, factor1)
+        hr = _hash32_hi(kr, factor1)
+    isF = hf < hr
+    hashes = jnp.where(isF, hf, hr)
+    kmers = jnp.where(isF, kf, kr)
+    # validity bit (16 par + s) of packed u32 half-word i (see fused)
+    v32 = jax.lax.bitcast_convert_type(vbits, jnp.uint32).reshape(
+        1, ipb, 1, BLK)
+    bit = (jax.lax.broadcasted_iota(jnp.uint32, (2, 1, 1, 1), 0)
+           * jnp.uint32(16)
+           + jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 16, 1), 2))
+    valid = ((v32 >> bit) & jnp.uint32(1)).astype(jnp.bool_)
+    emit = valid & mod_is_zero(hashes, w)
+
+    def blk(x):                               # major-dim merge: layout no-op
+        return x.reshape(nb, BLK)
+
+    lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
+        * jnp.uint32(32)
+    brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
+    base = ((brow // jnp.uint32(16)) % jnp.uint32(ipb) * jnp.uint32(32 * BLK)
+            + brow // jnp.uint32(16 * ipb) * jnp.uint32(16)
+            + brow % jnp.uint32(16))
+    stage = os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0"
+    if meta_isf:
+        km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
+        if stage:
+            km2, isf2, e2 = jax.lax.optimization_barrier((km2, isf2, e2))
+        lm2 = (lpos << jnp.uint32(1)) | isf2.astype(jnp.uint32)
+        base = base << jnp.uint32(1)
+    else:
+        km2, e2 = blk(kmers), blk(emit)
+        if stage:
+            km2, e2 = jax.lax.optimization_barrier((km2, e2))
+        lm2 = lpos
+    return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
+
+
 def _expand_valid(vbits, C):
     """[32, NW] validity mask from the packed little-endian bit words:
     vb32[i] holds the bits of positions 32i..32i+31."""
@@ -546,13 +669,14 @@ def _expand_valid(vbits, C):
 def compact_backend_default():
     """Compaction backend policy (overridable with MODIMIZER_COMPACT).
     Round-4 chip ablation (docs/PERF.md): the fused family beats the
-    round-3 winner onehot_i8 — fusedb (front born in block shape)
-    5.6 ms/2^24 device-op time vs fused 7.3 vs onehot_i8 9.1; wall
-    9.9/10.1/11.9 in the same congested window.  "fusedb" falls back to
-    "fused" where its stripe-partition gate fails (posmajor=True stream
-    order, no packed validity, C < 32*BLK) and further to "onehot_i8"
-    for k > 16 / huge w / huge BLK, so it is safe as the global default."""
-    return os.environ.get("MODIMIZER_COMPACT", "fusedb")
+    round-3 winner onehot_i8, and fusedc (funnel-phase axis on sublanes,
+    single-pass packed reassembly, BLK=512) beats fusedb — 5.48 ms/2^24
+    scan-8 wall (3061 Mpos/s) vs fusedb's 6.5 / fused's 8.7 / onehot_i8's
+    10.4.  "fusedc" falls back to "fused" where its stripe-partition gate
+    fails (posmajor=True stream order, no packed validity, C < 32*BLK)
+    and further to "onehot_i8" for k > 16 / huge w / huge BLK, so it is
+    safe as the global default."""
+    return os.environ.get("MODIMIZER_COMPACT", "fusedc")
 
 
 def _stage_fronts(kmers, pos, emit, k):
@@ -894,6 +1018,15 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos/meta u32,
     n_emit, overflow)."""
     backend = backend or compact_backend_default()
+    if backend == "fusedc":
+        # sublane-phase front: same gate as fusedb (stripe partition,
+        # packed validity, whole (s, par) rows per block)
+        if (not posmajor and vbits is not None and k <= 16
+                and w < (1 << 32) and BLK <= 32768 and C >= 32 * BLK):
+            return _scan_compact_fused_sublane(sw, vbits, k=k, w=w,
+                                               factor1=factor1, C=C, bo=bo,
+                                               meta_isf=meta_isf)
+        backend = "fused"
     if backend == "fusedb":
         # born-in-block front: stripe partition only (posmajor=False),
         # needs the packed validity words and C >= 32*BLK so blocks tile
