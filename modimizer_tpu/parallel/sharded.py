@@ -561,7 +561,7 @@ def _scan_compact_fused_blocks(sw, vbits, *, k, w, factor1, C, bo,
 
 
 def _scan_compact_fused_sublane(sw, vbits, *, k, w, factor1, C, bo,
-                                meta_isf=False):
+                                meta_isf=False, posmajor=False):
     """Fused scan+compact with the funnel-phase axis on SUBLANES (backend
     "fusedc", k <= 16, stripe partition — same consumer contract as
     fusedb).  fusedb's remaining fat is ~1.6 ms/2^24 of materialized
@@ -584,8 +584,16 @@ def _scan_compact_fused_sublane(sw, vbits, *, k, w, factor1, C, bo,
     group, the same partition class as fusedb (order-free consumers;
     rows carry true positions via base + 32 c).
 
+    posmajor=True (the kmers-only e2e path, _scan_kmers_body): the front
+    still computes in the sublane-phase layout, then ONE explicit
+    transpose [par, ib, s, c] -> [ib, c, par, s] (a single materialized
+    relayout of the kmer/emit planes, ~0.3 ms/2^24) re-blocks it so
+    block b holds positions [b BLK, (b+1) BLK) in order — rows leave the
+    device in EXACT stream order, bit-identical to the onehot posmajor
+    path (first-encounter-id parity, modset.c:56-59).
+
     Matches seqhash.c:170-196 modimizer semantics; multiset-identical to
-    every other backend (tests/test_scan_compact_backends.py)."""
+    every other backend (tests/test_scan_kernel_mxu.py)."""
     assert k <= 16
     NW = C // 32
     nb = C // BLK
@@ -631,15 +639,25 @@ def _scan_compact_fused_sublane(sw, vbits, *, k, w, factor1, C, bo,
     valid = ((v32 >> bit) & jnp.uint32(1)).astype(jnp.bool_)
     emit = valid & mod_is_zero(hashes, w)
 
-    def blk(x):                               # major-dim merge: layout no-op
-        return x.reshape(nb, BLK)
+    if posmajor:
+        def blk(x):       # stream order: [par, ib, s, c] -> [ib, c, par, s];
+            # flat index ((ib BLK + c) 2 + par) 16 + s == position
+            return x.transpose(1, 3, 0, 2).reshape(nb, BLK)
 
-    lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
-        * jnp.uint32(32)
-    brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
-    base = ((brow // jnp.uint32(16)) % jnp.uint32(ipb) * jnp.uint32(32 * BLK)
-            + brow // jnp.uint32(16 * ipb) * jnp.uint32(16)
-            + brow % jnp.uint32(16))
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1)
+        base = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0) \
+            * jnp.uint32(BLK)
+    else:
+        def blk(x):                           # major-dim merge: layout no-op
+            return x.reshape(nb, BLK)
+
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
+            * jnp.uint32(32)
+        brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
+        base = ((brow // jnp.uint32(16)) % jnp.uint32(ipb)
+                * jnp.uint32(32 * BLK)
+                + brow // jnp.uint32(16 * ipb) * jnp.uint32(16)
+                + brow % jnp.uint32(16))
     stage = os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0"
     if meta_isf:
         km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
@@ -1018,29 +1036,42 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     (kmers u64 [C/BLK*bo] with sentinel padding, chunk-local pos/meta u32,
     n_emit, overflow)."""
     backend = backend or compact_backend_default()
+    # the fused tail carries block-local meta in 2 biased limbs, so it
+    # must fit 16 bits: stripe blocks encode lpos = 32 c (max 32 (BLK-1)),
+    # posmajor blocks lpos = c, and meta_isf shifts one more bit
+    _lm_max = (((BLK - 1) if posmajor else 32 * (BLK - 1))
+               << (1 if meta_isf else 0)) | 1
     if backend == "fusedc":
-        # sublane-phase front: same gate as fusedb (stripe partition,
-        # packed validity, whole (s, par) rows per block)
-        if (not posmajor and vbits is not None and k <= 16
-                and w < (1 << 32) and BLK <= 32768 and C >= 32 * BLK):
+        # sublane-phase front (stripe partition, or stream-order posmajor
+        # via one explicit relayout); needs packed validity words and
+        # whole (s, par) rows per block
+        if (vbits is not None and k <= 16 and w < (1 << 32)
+                and _lm_max < (1 << 16) and C >= 32 * BLK
+                and C % (32 * BLK) == 0):
             return _scan_compact_fused_sublane(sw, vbits, k=k, w=w,
                                                factor1=factor1, C=C, bo=bo,
-                                               meta_isf=meta_isf)
+                                               meta_isf=meta_isf,
+                                               posmajor=posmajor)
         backend = "fused"
     if backend == "fusedb":
         # born-in-block front: stripe partition only (posmajor=False),
         # needs the packed validity words and C >= 32*BLK so blocks tile
         # whole (s, par) rows; otherwise fall through to plain fused
         if (not posmajor and vbits is not None and k <= 16
-                and w < (1 << 32) and BLK <= 32768 and C >= 32 * BLK):
+                and w < (1 << 32) and _lm_max < (1 << 16)
+                and C >= 32 * BLK and C % (32 * BLK) == 0):
             return _scan_compact_fused_blocks(sw, vbits, k=k, w=w,
                                               factor1=factor1, C=C, bo=bo,
                                               meta_isf=meta_isf)
         backend = "fused"
     if backend == "fused":
         # fused front is u32-only, and its block-local meta rides 2 limbs
-        # (<= 16 bits: lpos<<1|isF < 2*BLK), which caps BLK at 32768
-        if not (k <= 16 and w < (1 << 32) and BLK <= 32768):
+        # (must fit 16 bits; small chunks force the posmajor layout below,
+        # so recompute the bound for the layout actually taken)
+        _pm = posmajor or C < 32 * BLK
+        _lm_max = (((BLK - 1) if _pm else 32 * (BLK - 1))
+                   << (1 if meta_isf else 0)) | 1
+        if not (k <= 16 and w < (1 << 32) and _lm_max < (1 << 16)):
             backend = "onehot_i8"     # same math, wider-shape fallback
         else:
             # the stripe partition's base math needs whole (s, par) rows

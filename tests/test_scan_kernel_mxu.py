@@ -127,6 +127,36 @@ def test_fused_small_chunks_multiset(clog):
         assert int(out[2]) == int(ref[2]), (be, clog)
 
 
+@pytest.mark.parametrize("k,w,clog", [(16, 16, 15), (13, 31, 14),
+                                      (16, 31, 16)])
+def test_fusedc_posmajor_bit_identical(k, w, clog):
+    """fusedc on the posmajor (stream-order) path — the kmers-only e2e
+    layout — must be BYTE-identical to the onehot posmajor oracle (same
+    contiguous-position block partition, in-block ranks = stream order),
+    both meta flavors, under ragged validity words."""
+    from modimizer_tpu.parallel.sharded import (_expand_valid,
+                                                _scan_compact_core)
+    rng = np.random.default_rng(7)
+    f1 = 0x9E3779B97F4A7C15 | 1
+    C = 1 << clog
+    codes = rng.integers(0, 4, C + k - 1).astype(np.uint8)
+    sw = jnp.asarray(pack_sw(codes, C // 32 + 2))
+    vbn = np.random.default_rng(3).integers(
+        0, 2 ** 63, C // 64).astype(np.uint64)
+    vb = jnp.asarray(vbn)
+    valid = _expand_valid(vb, C)
+    for meta_isf in (False, True):
+        ref = tuple(np.asarray(x) for x in _scan_compact_core(
+            sw, valid, k=k, w=w, factor1=f1, C=C, bo=112,
+            backend="onehot_i8", posmajor=True, meta_isf=meta_isf,
+            vbits=vb))
+        got = tuple(np.asarray(x) for x in _scan_compact_core(
+            sw, valid, k=k, w=w, factor1=f1, C=C, bo=112,
+            backend="fusedc", posmajor=True, meta_isf=meta_isf, vbits=vb))
+        for a, b in zip(ref, got):
+            assert np.array_equal(a, b), (k, w, clog, meta_isf)
+
+
 _BLK_PROBE = r"""
 import numpy as np
 import modimizer_tpu
