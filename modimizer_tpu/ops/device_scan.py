@@ -71,6 +71,87 @@ def _densify_cols(cols, live, bo, cap, sentinels):
                  for c, s in zip(cols, sentinels))
 
 
+def _densify_cols_roll2(cols, live, bo, cap, sentinels):
+    """Two-phase aligned butterfly densify — same math as _densify_cols
+    (ascending-bit conditional rolls of the global move distances), but
+    the rolls are reshaped so most stages move whole aligned rows:
+
+    - low bits (sft < 128) run on the TRANSPOSED view [128, n/128] where
+      element (c, r) = flat r*128 + c: a flat roll by sft becomes a
+      MAJOR-axis roll by sft plus a minor-axis roll by 1 for the carry
+      lane(s) (y[c, r] = x[(c+sft)%128, r + ((c+sft) >= 128)]);
+    - high bits (sft = 128 m) run on the natural view [n/128, 128] as
+      MAJOR-axis rolls by m — aligned whole-row copies.
+
+    The flat 1-D rolls of _densify_cols lower to lane-misaligned concat
+    pairs on this toolchain (~0.9 ms/stage on 2M rows, 21 stages = the
+    bulk of the 24.5 ms/2^24 kmers-chunk step); major-axis rolls are
+    plain row relabels.  Output is bit-identical (test)."""
+    n = live.shape[0]
+    nb = n // bo
+    L = 128
+    R = n // L
+    assert n % L == 0
+    l2 = live.reshape(nb, bo)
+    slt = (jax.lax.broadcasted_iota(jnp.int32, (bo, bo), 0)
+           < jax.lax.broadcasted_iota(jnp.int32, (bo, bo), 1)
+           ).astype(jnp.bfloat16)
+    within = jax.lax.dot_general(l2.astype(jnp.bfloat16), slt,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.uint32)
+    per_blk = jnp.sum(l2.astype(jnp.uint32), axis=1)
+    bases = jnp.concatenate([jnp.zeros(1, jnp.uint32),
+                             jnp.cumsum(per_blk)[:-1].astype(jnp.uint32)])
+    excl = (bases[:, None] + within).reshape(-1)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    move = jnp.where(live, idx - excl, jnp.uint32(0))
+
+    def low_stage(arrs, move, b):
+        # transposed view [L, R]: flat roll by sft = major roll + carry
+        sft = 1 << b
+        cidx = jax.lax.broadcasted_iota(jnp.uint32, (L, R), 0)
+        nocarry = cidx < jnp.uint32(L - sft)
+
+        def flatroll(x):
+            xr = jnp.roll(x, -sft, axis=0)
+            return jnp.where(nocarry, xr, jnp.roll(xr, -1, axis=1))
+
+        move_sh = flatroll(move)
+        arrive = ((move_sh >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        leave = ((move >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        arrs = [jnp.where(arrive, flatroll(a), a) for a in arrs]
+        move = jnp.where(arrive, move_sh - jnp.uint32(sft),
+                         jnp.where(leave, jnp.uint32(0), move))
+        return arrs, move
+
+    def high_stage(arrs, move, b):
+        # natural view [R, L]: flat roll by sft = 128 m = major roll by m
+        m = (1 << b) // L
+        move_sh = jnp.roll(move, -m, axis=0)
+        arrive = ((move_sh >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        leave = ((move >> jnp.uint32(b)) & jnp.uint32(1)) == jnp.uint32(1)
+        arrs = [jnp.where(arrive, jnp.roll(a, -m, axis=0), a) for a in arrs]
+        move = jnp.where(arrive, move_sh - jnp.uint32(1 << b),
+                         jnp.where(leave, jnp.uint32(0), move))
+        return arrs, move
+
+    nbits = (n - 1).bit_length()
+    # low bits on the transposed view (transpose once in, once out)
+    arrs = [c.reshape(R, L).T for c in cols]
+    move = move.reshape(R, L).T
+    for b in range(min(7, nbits)):
+        arrs, move = low_stage(arrs, move, b)
+    arrs = [a.T for a in arrs]
+    move = move.T
+    for b in range(7, nbits):
+        arrs, move = high_stage(arrs, move, b)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    keep = jnp.arange(cap, dtype=jnp.int32) < n_live
+    return tuple(jnp.where(keep, a.reshape(-1)[:cap], s)
+                 for a, s in zip(arrs, sentinels))
+
+
 def _densify_cols_search(cols, live, bo, cap, sentinels):
     """Search-based densify: compaction backends emit each block's live
     rows as a dense prefix (in-block ranks are 0..cnt-1), so dense row j
@@ -100,10 +181,21 @@ def _densify_cols_search(cols, live, bo, cap, sentinels):
 
 
 def _densify_dispatch(cols, live, bo, cap, sentinels):
-    """MODIMIZER_DENSIFY=roll restores the butterfly (read at trace time,
-    like the compaction backend knobs); default is the search densify."""
+    """Densify policy (MODIMIZER_DENSIFY=roll|search overrides, read at
+    trace time like the compaction backend knobs).  Default is platform-
+    aware: the search densify's ~cap-sized gathers SERIALIZE on the v5e
+    (round-4 chip probe: 318 ms/2^24 chunk vs 24.5 with the roll
+    butterfly — the same 13x class as the retired posgather backend),
+    while on CPU-jax the search variant is the faster one (round-3
+    host measurements).  Both are bit-identical (test)."""
     import os
-    if os.environ.get("MODIMIZER_DENSIFY") == "roll":
+    mode = os.environ.get("MODIMIZER_DENSIFY")
+    if mode is None:
+        import jax as _jax
+        mode = "search" if _jax.default_backend() == "cpu" else "roll2"
+    if mode == "roll2" and live.shape[0] % 128 == 0:
+        return _densify_cols_roll2(cols, live, bo, cap, sentinels)
+    if mode in ("roll", "roll2"):
         return _densify_cols(cols, live, bo, cap, sentinels)
     return _densify_cols_search(cols, live, bo, cap, sentinels)
 

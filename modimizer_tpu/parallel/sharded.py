@@ -639,18 +639,27 @@ def _scan_compact_fused_sublane(sw, vbits, *, k, w, factor1, C, bo,
     valid = ((v32 >> bit) & jnp.uint32(1)).astype(jnp.bool_)
     emit = valid & mod_is_zero(hashes, w)
 
+    def blk(x):                               # major-dim merge: layout no-op
+        return x.reshape(nb, BLK)
+
     if posmajor:
-        def blk(x):       # stream order: [par, ib, s, c] -> [ib, c, par, s];
-            # flat index ((ib BLK + c) 2 + par) 16 + s == position
-            return x.transpose(1, 3, 0, 2).reshape(nb, BLK)
+        # stream-order re-block AFTER the staging barrier (below): the
+        # front fusions stay byte-for-byte the fast stripe program, and
+        # the reorder [par, ib, s, c] -> [ib, c, par, s] (flat index
+        # ((ib BLK + c) 2 + par) 16 + s == position) is one explicit
+        # relayout per staged plane.  Re-blocking BEFORE the barrier
+        # instead poisons the front's layout assignment (profiled
+        # 24.5 ms/2^24 vs 5.5 stripe: the word-plane broadcasts all
+        # materialize at transpose-friendly layouts).
+        def reblock(x):
+            return (x.reshape(2, ipb, 16, BLK).transpose(1, 3, 0, 2)
+                    .reshape(nb, BLK))
 
         lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1)
         base = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0) \
             * jnp.uint32(BLK)
     else:
-        def blk(x):                           # major-dim merge: layout no-op
-            return x.reshape(nb, BLK)
-
+        reblock = None
         lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
             * jnp.uint32(32)
         brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
@@ -663,12 +672,16 @@ def _scan_compact_fused_sublane(sw, vbits, *, k, w, factor1, C, bo,
         km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
         if stage:
             km2, isf2, e2 = jax.lax.optimization_barrier((km2, isf2, e2))
+        if reblock is not None:
+            km2, isf2, e2 = reblock(km2), reblock(isf2), reblock(e2)
         lm2 = (lpos << jnp.uint32(1)) | isf2.astype(jnp.uint32)
         base = base << jnp.uint32(1)
     else:
         km2, e2 = blk(kmers), blk(emit)
         if stage:
             km2, e2 = jax.lax.optimization_barrier((km2, e2))
+        if reblock is not None:
+            km2, e2 = reblock(km2), reblock(e2)
         lm2 = lpos
     return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
 

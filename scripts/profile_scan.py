@@ -45,7 +45,21 @@ def main():
     sw_d = jnp.asarray(pack_sw(codes, C // 32 + 2))
     vb_d = jnp.asarray(pack_bits(np.ones(C, bool), C // 64))
 
-    if BE in ("front", "front32"):
+    if BE == "kmers":
+        # the kmers-only e2e chunk program (modutils -a / bench e2e),
+        # with whatever MODIMIZER_COMPACT/DENSIFY/BLK the env selects
+        from modimizer_tpu.ops.device_scan import _scan_chunk_kmers
+        cap = C // W + (C // W) // 4 + 4096
+        kwk = dict(k=K, w=W, factor1=sh.factor1, bo=bo, cap=cap)
+
+        def step(dep):
+            swx = sw_d.at[0].set(
+                sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+            ok, tot = _scan_chunk_kmers(swx, vb_d, **kwk)
+            chk = tot.astype(jnp.int64) + jnp.sum(
+                ok.astype(jnp.uint64)).astype(jnp.int64)
+            return None, None, chk, None
+    elif BE in ("front", "front32"):
         @jax.jit
         def stepfn(swx, vb):
             fr = _scan_front_u32 if BE == "front32" else _scan_front

@@ -168,8 +168,9 @@ def test_expand_sparse_valid_matches_dense():
 
 
 def test_densify_search_equals_roll(monkeypatch):
-    """Search-based densify vs the roll butterfly: bit-identical chunk
-    outputs (kmers path and meta path) on multi-chunk streams."""
+    """Search / roll-butterfly / two-phase-aligned-butterfly densify:
+    bit-identical chunk outputs (kmers path and meta path) on multi-chunk
+    streams."""
     import jax.numpy as jnp
     from modimizer_tpu.ops.device_scan import _scan_chunk
     from modimizer_tpu.ops.packed import pack_sw
@@ -178,7 +179,7 @@ def test_densify_search_equals_roll(monkeypatch):
     codes, offsets = _mk(rng, 150, 50, 900)
 
     outs = {}
-    for mode in ("search", "roll"):
+    for mode in ("search", "roll", "roll2"):
         monkeypatch.setenv("MODIMIZER_DENSIFY", mode)
         sc = ModimizerScanner(sh, chunk=1 << 13, host_threshold=0)
         outs[mode] = sc.scan_kmers(codes, offsets)
@@ -194,5 +195,8 @@ def test_densify_search_equals_roll(monkeypatch):
         ds._scan_chunk_kmers.clear_cache()
         ds._scan_chunk_kmers_sparse.clear_cache()
     assert np.array_equal(outs["search"], outs["roll"])
+    assert np.array_equal(outs["search"], outs["roll2"])
     for a, b in zip(outs["search_meta"], outs["roll_meta"]):
+        assert np.array_equal(a, b)
+    for a, b in zip(outs["search_meta"], outs["roll2_meta"]):
         assert np.array_equal(a, b)
