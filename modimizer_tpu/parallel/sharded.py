@@ -408,16 +408,22 @@ def _fused_compact_tail(km2, lm2, e2, base, *, bo):
                                    preferred_element_type=jnp.int32)
     dest = jnp.where(e2, csum - 1, -1)
     slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
-    onehot = (dest[:, None, :] == slots).astype(jnp.int8)
     cnts = csum[:, -1]
     live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    # (A 24-bit-f32-limb tail — 2 planes instead of 6 — was probed on chip
+    # in round 5 and REJECTED: JAX's default matmul precision on TPU
+    # lowers f32 dots to one bf16 pass, truncating the limbs (exact on
+    # CPU, silently wrong on TPU — caught by the chained-step checksum),
+    # and even allowing that it measured 6.27 ms vs int8's 5.53.)
+    mode = os.environ.get("MODIMIZER_FUSED_COLS", "t")
+    onehot = (dest[:, None, :] == slots).astype(jnp.int8)
     # cols: biased 8-bit limbs of (kmer u32, local meta u16) as ONE
     # broadcast expression — c < 4 are kmer limbs (msb first), c in {4, 5}
     # the meta limbs.  The limb axis rides SUBLANES ([nb, 6, BLK] and the
     # dot emits [nb, 6, bo]): with the limb axis minor, every
     # generate/reassemble fusion ran at 6/128 lane occupancy — a stable
     # 1.5 ms/2^24 of the step (round-4 trace, select_convert_fusion).
-    if os.environ.get("MODIMIZER_FUSED_COLS", "t") == "t":
+    if mode == "t":
         c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, 6, BLK), 1)
         ksh = jnp.uint32(24) - jnp.minimum(c3, jnp.uint32(3)) * jnp.uint32(8)
         msh = jnp.where(c3 == jnp.uint32(4), jnp.uint32(8), jnp.uint32(0))
@@ -684,6 +690,156 @@ def _scan_compact_fused_sublane(sw, vbits, *, k, w, factor1, C, bo,
             km2, e2 = reblock(km2), reblock(e2)
         lm2 = lpos
     return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
+
+
+def _scan_compact_fused_sublane64(sw, vbits, *, k, w, factor1, C, bo,
+                                  meta_isf=False, posmajor=False):
+    """u64 sublane-phase fused scan+compact for 16 < k <= 32 — the fusedc
+    backend's wide-k path, so the reference's DEFAULT parameters (k=19 w=31,
+    modmap.c:314-317, modutils.c:140) and BASELINE config 3 (k=24) ride the
+    fused family instead of falling back to onehot_i8.
+
+    Same design as _scan_compact_fused_sublane but the funnel works on
+    whole u64 words, so all 32 funnel phases ride ONE sublane axis:
+    layout [ipb, 32, BLK], phase r = p mod 32 second-minor (32 % 8 == 0
+    keeps the flatten to [nb, BLK] a true bitcast), word planes are
+    [ipb, 1, BLK] broadcasts.  XLA emulates u64 elementwise ops as u32
+    pairs, which is exactly what the hand-split u32 front does for k <= 16
+    — for 2k > 32 the pair math is irreducible, so there is nothing to
+    hand-optimize below this.
+
+    Block row b = ib*32 + r holds positions 32*(ib*BLK + c) + r — a
+    stride-32 position group (stripe partition).  posmajor=True re-blocks
+    AFTER the staging barrier ([ipb, 32, BLK] -> [ipb, BLK, 32], whose
+    flatten is position order) so rows leave in exact stream order.
+
+    Matches seqhash.c:154-196 semantics (hash = (kmer*factor1) >> (64-2k),
+    canonical = min(fwd, rc), emit iff hash % w == 0); multiset-identical
+    to onehot/onehot_i8 at the same shapes (tests/test_scan_kernel_mxu.py).
+    """
+    assert 16 < k <= 32
+    NW = C // 32
+    nb = C // BLK
+    ipb = NW // BLK
+    tw = derive_tw(sw)
+    pa = sw[:NW].reshape(ipb, 1, BLK)
+    pb = sw[1:NW + 1].reshape(ipb, 1, BLK)
+    za = tw[:NW].reshape(ipb, 1, BLK)
+    zb = tw[1:NW + 1].reshape(ipb, 1, BLK)
+    r2 = (jax.lax.broadcasted_iota(jnp.uint64, (1, 32, 1), 1)
+          * jnp.uint64(2))
+    inv = jnp.uint64(64) - r2
+    zero = r2 == jnp.uint64(0)
+    inv_s = jnp.where(zero, jnp.uint64(1), inv)   # no undefined >>64
+    shift1 = jnp.uint64(64 - 2 * k)
+    mask2k = jnp.uint64((1 << (2 * k)) - 1)
+    kf = jnp.where(zero, pa, (pa << r2) | (pb >> inv_s)) >> shift1
+    kr = jnp.where(zero, za, (za >> r2) | (zb << inv_s)) & mask2k
+    f1_ = jnp.uint64(factor1)
+    hf = (kf * f1_) >> shift1
+    hr = (kr * f1_) >> shift1
+    isF = hf < hr
+    hashes = jnp.where(isF, hf, hr)
+    kmers = jnp.where(isF, kf, kr)
+    # validity bit r of the u32 half-word i (v32[i] = positions 32i..32i+31)
+    v32 = jax.lax.bitcast_convert_type(vbits, jnp.uint32).reshape(
+        ipb, 1, BLK)
+    bit = jax.lax.broadcasted_iota(jnp.uint32, (1, 32, 1), 1)
+    valid = ((v32 >> bit) & jnp.uint32(1)).astype(jnp.bool_)
+    emit = valid & mod_is_zero(hashes, w)
+
+    def blk(x):                               # major-dim merge: layout no-op
+        return x.reshape(nb, BLK)
+
+    if posmajor:
+        # stream-order re-block after the barrier: [ipb, 32, BLK] ->
+        # [ipb, BLK, 32], flat index 32*(ib*BLK + c) + r == position
+        def reblock(x):
+            return (x.reshape(ipb, 32, BLK).transpose(0, 2, 1)
+                    .reshape(nb, BLK))
+
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1)
+        base = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0) \
+            * jnp.uint32(BLK)
+    else:
+        reblock = None
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
+            * jnp.uint32(32)
+        brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
+        base = ((brow >> jnp.uint32(5)) * jnp.uint32(32 * BLK)
+                + (brow & jnp.uint32(31)))
+    stage = os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0"
+    if meta_isf:
+        km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
+        if stage:
+            km2, isf2, e2 = jax.lax.optimization_barrier((km2, isf2, e2))
+        if reblock is not None:
+            km2, isf2, e2 = reblock(km2), reblock(isf2), reblock(e2)
+        lm2 = (lpos << jnp.uint32(1)) | isf2.astype(jnp.uint32)
+        base = base << jnp.uint32(1)
+    else:
+        km2, e2 = blk(kmers), blk(emit)
+        if stage:
+            km2, e2 = jax.lax.optimization_barrier((km2, e2))
+        if reblock is not None:
+            km2, e2 = reblock(km2), reblock(e2)
+        lm2 = lpos
+    return _fused_compact_tail_u64(km2, lm2, e2, base, bo=bo, k=k)
+
+
+def _fused_compact_tail_u64(km2, lm2, e2, base, *, bo, k):
+    """MXU compaction tail for u64 kmers (16 < k <= 32): the virtual
+    V = (kmer << 16 | meta) value is 2k+16 <= 80 bits, carried as
+    ceil((2k+16)/8) biased int8 limb planes (7 for k=19, 8 for k=24, 10
+    for k=31/32 — the same exact-by-construction scheme as the k <= 16
+    tail; wider f32 limbs are NOT exact on TPU, where default-precision
+    f32 dots lower to one bf16 pass).  Same contract as
+    _fused_compact_tail."""
+    nb = km2.shape[0]
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+          ).astype(jnp.int8)
+    csum = jax.lax.dot_general(e2.astype(jnp.int8), ut,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    dest = jnp.where(e2, csum - 1, -1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
+    onehot = (dest[:, None, :] == slots).astype(jnp.int8)
+    cnts = csum[:, -1]
+    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    nbits = 2 * k + 16
+    nl = -(-nbits // 8)
+    vlo = (km2 << jnp.uint64(16)) | lm2.astype(jnp.uint64)   # V bits 0..63
+    vhi = (km2 >> jnp.uint64(48)).astype(jnp.uint32)         # V bits 64..79
+    # limb c = bits [8c, 8c+8) of V, via a c3-dependent shift (elementwise
+    # u64 shift by a broadcast amount — one fused expression, no stacks)
+    c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, nl, BLK), 1)
+    lo_sh = (jnp.minimum(c3, jnp.uint32(7)) * jnp.uint32(8)).astype(
+        jnp.uint64)
+    val = jnp.where(c3 < jnp.uint32(8),
+                    ((vlo[:, None, :] >> lo_sh)
+                     & jnp.uint64(0xFF)).astype(jnp.uint32),
+                    (vhi[:, None, :]
+                     >> ((c3 - jnp.uint32(8)) * jnp.uint32(8)))
+                    & jnp.uint32(0xFF))
+    cols = (val.astype(jnp.int32) - 128).astype(jnp.int8)
+    out = jax.lax.dot_general(cols, onehot,
+                              (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    o = jnp.where(live[:, None, :], out + 128, 0).astype(jnp.uint32)
+    olo = o[:, 0].astype(jnp.uint64)
+    for c in range(1, min(nl, 8)):
+        olo = olo | (o[:, c].astype(jnp.uint64) << jnp.uint64(8 * c))
+    ohi = jnp.zeros((nb, bo), jnp.uint64)
+    for c in range(8, nl):
+        ohi = ohi | (o[:, c].astype(jnp.uint64) << jnp.uint64(8 * (c - 8)))
+    okmer = (olo >> jnp.uint64(16)) | (ohi << jnp.uint64(48))
+    olm = (olo & jnp.uint64(0xFFFF)).astype(jnp.uint32)
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, base + olm,
+                      jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    n_emit = jnp.sum(cnts).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
 
 def _expand_valid(vbits, C):
@@ -1057,14 +1213,21 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     if backend == "fusedc":
         # sublane-phase front (stripe partition, or stream-order posmajor
         # via one explicit relayout); needs packed validity words and
-        # whole (s, par) rows per block
-        if (vbits is not None and k <= 16 and w < (1 << 32)
-                and _lm_max < (1 << 16) and C >= 32 * BLK
+        # whole (s, par) rows per block.  k <= 16 rides the hand-split u32
+        # front; 16 < k <= 32 the u64 sublane front (any w via u64 Lemire).
+        if (vbits is not None and _lm_max < (1 << 16) and C >= 32 * BLK
                 and C % (32 * BLK) == 0):
-            return _scan_compact_fused_sublane(sw, vbits, k=k, w=w,
-                                               factor1=factor1, C=C, bo=bo,
-                                               meta_isf=meta_isf,
-                                               posmajor=posmajor)
+            if k <= 16 and w < (1 << 32):
+                return _scan_compact_fused_sublane(sw, vbits, k=k, w=w,
+                                                   factor1=factor1, C=C,
+                                                   bo=bo, meta_isf=meta_isf,
+                                                   posmajor=posmajor)
+            if k > 16:
+                return _scan_compact_fused_sublane64(sw, vbits, k=k, w=w,
+                                                     factor1=factor1, C=C,
+                                                     bo=bo,
+                                                     meta_isf=meta_isf,
+                                                     posmajor=posmajor)
         backend = "fused"
     if backend == "fusedb":
         # born-in-block front: stripe partition only (posmajor=False),

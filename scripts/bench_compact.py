@@ -91,17 +91,33 @@ def main():
     for be in BACKENDS:
         # "front"/"front32"/"frontb16" = front-only floors; "<backend>@u32"
         # runs a compaction backend over the u32 front (MODIMIZER_FRONT=u32)
-        if be == "frontb16":
-            def step(dep):
-                swx = sw_d.at[0].set(
-                    sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
-                return None, None, front_b16(swx, vb_d), None
-        elif be in ("front", "front32"):
-            def step(dep, be=be):
-                swx = sw_d.at[0].set(
-                    sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
-                s = front_only(swx, vb_d, u32=(be == "front32"))
-                return None, None, s, None
+        if be in ("front", "front32", "frontb16"):
+            # front-only floors ride the same scan chain as the backends
+            # under SCAN_N (they used to dispatch single programs while
+            # ms/step divided by outer*SCAN_N — an 8x-flattering bug)
+            def one_front(swx, be=be):
+                if be == "frontb16":
+                    return front_b16(swx, vb_d)
+                return front_only(swx, vb_d, u32=(be == "front32"))
+
+            if SCAN_N > 1:
+                @jax.jit
+                def fmulti(dep, one_front=one_front):
+                    def body(carry, _):
+                        swx = sw_d.at[0].set(
+                            sw_d[0]
+                            ^ (carry.astype(jnp.uint64) & jnp.uint64(1)))
+                        return carry + one_front(swx), None
+                    c, _ = jax.lax.scan(body, dep, None, length=SCAN_N)
+                    return None, None, c, None
+
+                def step(dep, fmulti=fmulti):
+                    return fmulti(dep)
+            else:
+                def step(dep, one_front=one_front):
+                    swx = sw_d.at[0].set(
+                        sw_d[0] ^ (dep.astype(jnp.uint64) & jnp.uint64(1)))
+                    return None, None, one_front(swx), None
         elif SCAN_N > 1:
             # MODIMIZER_SCANSTEPS=N: run N chained steps inside ONE jitted
             # lax.scan program — no per-program dispatch/launch gap, the

@@ -57,7 +57,8 @@ def rand_stream(rng, overflow_bias):
 
 BACKENDS = ["onehot", "onehot_i8", "twolevel", "twolevel_i8",
             "butterfly", "gather", "searchcmp", "posgather",
-            "posgather_cmp"]
+            "posgather_cmp", "fused", "fusedb", "fusedc", "fusedc",
+            "fusedc"]  # fusedc over-weighted: it is the shipped default
 
 
 def trial_build(rng, trial):
@@ -73,7 +74,11 @@ def trial_build(rng, trial):
     fr = str(rng.choice(["funnel64", "u32"]))   # u32 applies when k <= 16
     os.environ["MODIMIZER_FRONT"] = fr
     codes, offsets = rand_stream(rng, overflow_bias=rng.random() < 0.4)
-    chunk = BLK * int(rng.integers(1, 5))
+    # chunk sizes straddle the fused-family stripe gate C >= 32*BLK
+    # (round 4's latent ipb = NW//BLK = 0 bug lived exactly at this
+    # boundary): small posmajor-forced chunks, just-below, at, and above
+    chunk = int(rng.choice([BLK, 2 * BLK, 3 * BLK, 4 * BLK, 31 * BLK,
+                            32 * BLK, 64 * BLK]))
     state = int(rng.choice([1 << 8, 1 << 10, 1 << 14]))
     cap = int(rng.choice([64, 256, 0])) or None
     b = ShardedModsetBuilder(sh, build_mesh(n_dev), chunk_per_dev=chunk,

@@ -64,7 +64,8 @@ def test_mxu_kernel_matches_oracle(k, w, R):
 
 
 @pytest.mark.parametrize("k,w,bo", [(16, 16, 112), (19, 31, 64),
-                                    (16, 31, 112)])
+                                    (16, 31, 112), (24, 31, 64),
+                                    (31, 101, 64), (32, 16, 112)])
 def test_compact_backends_bit_identical(k, w, bo):
     """onehot / onehot_i8 / twolevel / twolevel_i8 / butterfly all return
     byte-identical rows (incl. sentinels and overflow flags)."""
@@ -128,7 +129,8 @@ def test_fused_small_chunks_multiset(clog):
 
 
 @pytest.mark.parametrize("k,w,clog", [(16, 16, 15), (13, 31, 14),
-                                      (16, 31, 16)])
+                                      (16, 31, 16), (19, 31, 15),
+                                      (24, 31, 15), (32, 16, 15)])
 def test_fusedc_posmajor_bit_identical(k, w, clog):
     """fusedc on the posmajor (stream-order) path — the kmers-only e2e
     layout — must be BYTE-identical to the onehot posmajor oracle (same
@@ -141,8 +143,12 @@ def test_fusedc_posmajor_bit_identical(k, w, clog):
     C = 1 << clog
     codes = rng.integers(0, 4, C + k - 1).astype(np.uint8)
     sw = jnp.asarray(pack_sw(codes, C // 32 + 2))
-    vbn = np.random.default_rng(3).integers(
-        0, 2 ** 63, C // 64).astype(np.uint64)
+    # full-range u64 words (two u32 halves): all 64 validity bit
+    # positions exercised, incl. bit 63 (integers(0, 2**63) left it 0)
+    _vrng = np.random.default_rng(3)
+    vbn = ((_vrng.integers(0, 2 ** 32, C // 64).astype(np.uint64)
+            << np.uint64(32))
+           | _vrng.integers(0, 2 ** 32, C // 64).astype(np.uint64))
     vb = jnp.asarray(vbn)
     valid = _expand_valid(vb, C)
     for meta_isf in (False, True):
