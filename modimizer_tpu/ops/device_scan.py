@@ -261,6 +261,35 @@ def _scan_chunk_kmers_sparse(sw, sv_idx, sv_val, m, *, k, w, factor1, bo,
 @functools.partial(jax.jit,
                    static_argnames=("k", "w", "factor1", "bo", "cap",
                                     "front"))
+def _scan_chunk_kmers_sparse_scan(sws, svi, svv, ms, *, k, w, factor1, bo,
+                                  cap, front=None):
+    """Group-chained kmers-only scan: S chunks ride ONE XLA program via
+    lax.scan (the round-4 chip ablation's 8-step chaining, now in the
+    library feed path instead of only bench.py).  One stacked upload, one
+    dispatch, one stacked download — amortizes the per-program launch gap
+    (~2 ms through the axon tunnel; sub-ms but nonzero on a local TPU
+    host) and the per-transfer round trips S-fold.
+
+    sws [S, NW+2] u64, svi/svv [S, P] sparse validity exceptions,
+    ms [S] i32 live counts (m = 0 pads the final partial group: zero
+    validity -> zero emits).  Returns (kmers [S, cap], totals [S] i32;
+    a negative total flags that chunk for the caller's wide retry)."""
+    C = 32 * (sws.shape[1] - 2)
+
+    def body(_, xs):
+        sw, si, sv, m = xs
+        vbits = expand_sparse_valid(si, sv, m, C // 64)
+        ok, tot = _scan_kmers_body(sw, vbits, k=k, w=w, factor1=factor1,
+                                   bo=bo, cap=cap, front=front)
+        return None, (ok, tot)
+
+    _, (oks, tots) = jax.lax.scan(body, None, (sws, svi, svv, ms))
+    return oks, tots
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "w", "factor1", "bo", "cap",
+                                    "front"))
 def _scan_chunk(sw, m, *, k, w, factor1, bo, cap, front=None):
     """Packed-stream scan of C positions (C = 32*(len(sw)-2)).
 

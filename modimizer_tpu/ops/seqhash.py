@@ -148,6 +148,13 @@ class ModimizerScanner:
         # (short-read-dominated chunks) or MODIMIZER_DENSE_VALID=1.
         self.sparse_cap = max(4096, self.chunk // 512)
         self.dense_valid = bool(os.environ.get("MODIMIZER_DENSE_VALID"))
+        # chunks per chained dispatch in scan_kmers_batches (ONE lax.scan
+        # program consumes the whole group: stacked upload, one launch,
+        # stacked download) and how many groups stay in flight
+        self.feed_group = max(1, int(os.environ.get("MODIMIZER_FEED_GROUP",
+                                                    "4")))
+        self.max_inflight_groups = max(1, int(os.environ.get(
+            "MODIMIZER_FEED_INFLIGHT", "2")))
 
     def _dispatch(self, codes: np.ndarray, s: int, m: int,
                   wide: bool = False):
@@ -335,6 +342,7 @@ class ModimizerScanner:
         L = native_lib()
         NWV = C // 64                    # validity words the device reads
         NWB = (C + halo + 63) // 64      # buffer incl. halo positions
+        SG = self.feed_group             # chunks per chained dispatch
 
         out = [] if consumer is None else None
         total = 0
@@ -374,10 +382,47 @@ class ModimizerScanner:
             kms, pos, _ = self._scan_host(seg.view(np.int8), lo)
             return kms[pos < m]
 
-        def drain(entry):
+        def dispatch_group(starts):
+            """One chained program for len(starts) <= SG chunks (padded to
+            SG with m=0 rows): stacked upload, one dispatch, stacked
+            download — see device_scan._scan_chunk_kmers_sparse_scan.
+            Chunks whose validity exceptions overflow the sparse budget
+            are dispatched solo on the dense path (slot masked to m=0)."""
+            from .device_scan import _scan_chunk_kmers_sparse_scan
+            P = self.sparse_cap
+            sws = np.zeros((SG, C // 32 + 2), np.uint64)
+            svi = np.full((SG, P), NWB, np.int32)
+            svv = np.zeros((SG, P), np.uint64)
+            ms_arr = np.zeros(SG, np.int32)
+            solos = {}
+            with profiling.stage("scan.pack"):
+                for gi, sa in enumerate(starts):
+                    rel = sa - base
+                    seg = buf[rel:rel + C + halo]
+                    L.pk_pack2(np.ascontiguousarray(seg).view(np.uint8),
+                               len(seg), sws[gi], C // 32 + 2)
+                    vw = win_valid(sa, len(seg))
+                    m = min(C, len(seg))
+                    nv_m = (m + 63) // 64
+                    head = vw[:nv_m]
+                    nz = np.flatnonzero(
+                        head != np.uint64(0xFFFFFFFFFFFFFFFF))
+                    if len(nz) > P:     # dense fallback, solo dispatch
+                        solos[gi] = self._dispatch_sw(sws[gi], vw, m)
+                        continue
+                    svi[gi, :len(nz)] = nz
+                    svv[gi, :len(nz)] = head[nz]
+                    ms_arr[gi] = m
+            with profiling.stage("scan.dispatch"):
+                import jax.numpy as jnp
+                fut = _scan_chunk_kmers_sparse_scan(
+                    jnp.asarray(sws), jnp.asarray(svi), jnp.asarray(svv),
+                    jnp.asarray(ms_arr), k=k, w=sh.w, factor1=sh.factor1,
+                    bo=self.bo, cap=self.cap, front=self.front)
+            return fut, solos
+
+        def drain_one(sa, km, tot):
             nonlocal total
-            sa, fut = entry
-            km, tot = fut
             with profiling.stage("scan.download"):
                 tot = int(tot)
                 if tot < 0:      # cap/block overflow: retry wide on device
@@ -398,18 +443,33 @@ class ModimizerScanner:
                 with profiling.stage("scan.consumer"):
                     consumer(kms)
 
-        def prefetch(fut):
+        def drain(entry):
+            starts, (fut, solos) = entry
+            oks, tots = fut
+            if len(solos) < len(starts):
+                with profiling.stage("scan.download"):
+                    oks = np.asarray(oks)
+                    tots = np.asarray(tots)
+            for gi, sa in enumerate(starts):
+                if gi in solos:
+                    km, tot = solos[gi]
+                    drain_one(sa, km, tot)
+                else:
+                    drain_one(sa, oks[gi], tots[gi])
+
+        def prefetch(gfut):
+            fut, _solos = gfut
             for a in fut:
                 try:
                     a.copy_to_host_async()
                 except (AttributeError, RuntimeError):  # pragma: no cover
                     break
-            return fut
+            return gfut
 
         it = iter(batches)
         with profiling.trace_region():
             while True:
-                while not eof and n_in - s < C + halo:
+                while not eof and n_in - s < SG * C + halo:
                     try:
                         codes_b, offs_b = next(it)
                     except StopIteration:
@@ -426,13 +486,16 @@ class ModimizerScanner:
                     n_in += len(cb)
                 if s >= n_in:
                     break
-                pending.append((s, prefetch(dispatch(s))))
-                s += C
-                if len(pending) > self.max_inflight:
+                starts = []
+                while len(starts) < SG and s < n_in:
+                    starts.append(s)
+                    s += C
+                pending.append((starts, prefetch(dispatch_group(starts))))
+                if len(pending) > self.max_inflight_groups:
                     drain(pending.pop(0))
-                    # trim consumed bytes; the oldest pending chunk's
-                    # window must stay resident for its wide retry
-                    done = pending[0][0] if pending else s
+                    # trim consumed bytes; the oldest pending group's
+                    # first window must stay resident for its wide retry
+                    done = pending[0][0][0] if pending else s
                     cut = done - base
                     if cut > (64 << 20):
                         buf = buf[cut:]
