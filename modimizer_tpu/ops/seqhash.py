@@ -44,7 +44,10 @@ def scan_bo(w: int) -> int:
     rescans)."""
     import math
     mean = max(1, BLK_COMPACT // w)
-    want = mean + 6 * max(1, math.isqrt(mean))
+    # ceil the sigma so the margin stays >= 6 sigma at small BLK (isqrt
+    # floors: at BLK=512 w=16 that would be ~5.8 sigma and 2x more blocks
+    # per chunk to trip it; overflow still only costs a flagged replay)
+    want = mean + 6 * max(1, math.isqrt(mean - 1) + 1)
     return int(min(BLK_COMPACT, max(8, ((want + 7) // 8) * 8)))
 
 U64 = np.uint64

@@ -859,10 +859,14 @@ def compact_backend_default():
     round-3 winner onehot_i8, and fusedc (funnel-phase axis on sublanes,
     single-pass packed reassembly, BLK=512) beats fusedb — 5.48 ms/2^24
     scan-8 wall (3061 Mpos/s) vs fusedb's 6.5 / fused's 8.7 / onehot_i8's
-    10.4.  "fusedc" falls back to "fused" where its stripe-partition gate
-    fails (posmajor=True stream order, no packed validity, C < 32*BLK)
-    and further to "onehot_i8" for k > 16 / huge w / huge BLK, so it is
-    safe as the global default."""
+    10.4.  "fusedc" handles both block layouts (stripe partition and
+    stream-order posmajor) and all k <= 32 (u32 sublane front for k <= 16,
+    u64 sublane front above); it falls back to "fused" only where its gate
+    fails — no packed validity words (vbits is None), block-local meta
+    overflowing the 2-limb/16-bit budget (huge BLK and/or meta_isf), or
+    C not a positive multiple of 32*BLK — and further to "onehot_i8" for
+    the shapes "fused" cannot take (k > 16, w >= 2^32), so it is safe as
+    the global default."""
     return os.environ.get("MODIMIZER_COMPACT", "fusedc")
 
 
@@ -1526,7 +1530,7 @@ class ShardedModsetBuilder:
             # preserved, tests/test_sharded.py overflow case).
             import math
             mean = BLK // sh.w
-            want = mean + 6 * max(1, math.isqrt(mean))
+            want = mean + 6 * max(1, math.isqrt(max(0, mean - 1)) + 1)
         self.bo = int(min(BLK, max(8, ((want + 7) // 8) * 8)))
         n, S = self.n, self.S
         self.state_k = jnp.full((n, S), U64_SENTINEL, jnp.uint64)
