@@ -41,6 +41,18 @@ def configure_jax():
     global _jax_configured
     if _jax_configured:
         return
+    # The group-chained scan program (ops/device_scan.py
+    # _scan_chunk_kmers_sparse_scan) trips the TPU compiler's default 16 MB
+    # scoped-vmem budget: the [nb]-cumsum inside the lax.scan body lowers
+    # to a reduce-window whose enclosing fusion wants 19.1 MB of scoped
+    # allocations ("should not be possible ... please file a bug against
+    # XLA").  Raising the budget to 32 MB (v5e VMEM is 128 MB) compiles it
+    # and leaves the compact-step ablation unchanged (round-5 A/B).
+    if "xla_tpu_scoped_vmem_limit_kib" not in os.environ.get(
+            "LIBTPU_INIT_ARGS", ""):
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            os.environ.get("LIBTPU_INIT_ARGS", "")
+            + " --xla_tpu_scoped_vmem_limit_kib=32768").strip()
     import jax
     jax.config.update("jax_enable_x64", True)
     # The axon PJRT plugin force-selects itself at registration time, which

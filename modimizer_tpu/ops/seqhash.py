@@ -43,6 +43,9 @@ def scan_bo(w: int) -> int:
     Binomial(BLK, 1/w) emit count (overflow is flagged and the caller
     rescans)."""
     import math
+    forced = _os.environ.get("MODIMIZER_BO")
+    if forced:                     # ablation override (8-row granules)
+        return int(min(BLK_COMPACT, max(8, (int(forced) + 7) // 8 * 8)))
     mean = max(1, BLK_COMPACT // w)
     # ceil the sigma so the margin stays >= 6 sigma at small BLK (isqrt
     # floors: at BLK=512 w=16 that would be ~5.8 sigma and 2x more blocks
