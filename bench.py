@@ -214,11 +214,20 @@ def _tpu_rate_impl(fa, c_entries):
     # one-time XLA compile (shape-keyed: a zeros chunk has the same shapes);
     # reported separately — every later chunk reuses the executable
     t0 = time.perf_counter()
-    # all-ones validity: warms the sparse-validity program (the one every
-    # long-read chunk uses; all-zero words would warm the dense fallback)
-    wv = np.full(sc.chunk // 64, 0xFFFFFFFFFFFFFFFF, np.uint64)
-    warm = sc._dispatch_kmers(np.zeros(sc.chunk + K - 1, np.uint8), 0, wv)
-    int(np.asarray(warm[1]))
+    # warm the EXACT programs the feed will dispatch: a full feed_group of
+    # chunk-sized zero reads through scan_kmers_batches compiles the
+    # group-chained sparse-validity scan (warming only the dense solo
+    # program leaves a ~40-50 s tunnel compile inside the timed window —
+    # the round-5 SG=1 cold run measured exactly that)
+    warm_sc = ModimizerScanner(sh, chunk=sc.chunk, host_threshold=0)
+    wlen = warm_sc.feed_group * sc.chunk + K
+    # random bases, not zeros: a poly-A chunk emits at EVERY position
+    # (kmer 0 hashes to 0) and would detour through the overflow tiers
+    warm_codes = np.random.default_rng(0).integers(
+        0, 4, wlen).astype(np.uint8)
+    warm_sc.scan_kmers_batches(
+        [(warm_codes, np.array([0, wlen], np.int64))],
+        consumer=lambda kms: None)
     t_compile = time.perf_counter()
     # streaming: file segments parse natively on a background thread while
     # earlier chunks compute on device and the native table replay runs

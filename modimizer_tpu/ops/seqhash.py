@@ -156,11 +156,18 @@ class ModimizerScanner:
         self.dense_valid = bool(os.environ.get("MODIMIZER_DENSE_VALID"))
         # chunks per chained dispatch in scan_kmers_batches (ONE lax.scan
         # program consumes the whole group: stacked upload, one launch,
-        # stacked download) and how many groups stay in flight
+        # stacked download).  DEFAULT 1: on the tunnel-attached chip the
+        # per-program launch gap the chaining amortizes is ~2 ms/chunk
+        # while the grouping costs seconds — the >16 MB stacked
+        # jnp.asarray upload blocks (the per-chunk 8 MB one streams
+        # async), the first dispatch waits for S chunks of parse, and the
+        # measured stage sum equals the whole window (zero overlap;
+        # round-5 MODIMIZER_STAGES run: 34 Mpos/s grouped vs 54 solo).
+        # A local-TPU deployment with a real PCIe link can raise it.
         self.feed_group = max(1, int(os.environ.get("MODIMIZER_FEED_GROUP",
-                                                    "4")))
+                                                    "1")))
         self.max_inflight_groups = max(1, int(os.environ.get(
-            "MODIMIZER_FEED_INFLIGHT", "2")))
+            "MODIMIZER_FEED_INFLIGHT", "3")))
 
     def _dispatch(self, codes: np.ndarray, s: int, m: int,
                   wide: bool = False):

@@ -25,8 +25,9 @@ def _stream(rng, n_reads=150, lo=40, hi=900):
     return codes, offsets, seqs
 
 
+@pytest.mark.parametrize("feed_group", [1, 3])
 @pytest.mark.parametrize("batching", ["one", "per_read", "ragged"])
-def test_scan_kmers_batches_matches_scan_kmers(batching):
+def test_scan_kmers_batches_matches_scan_kmers(batching, feed_group):
     rng = np.random.default_rng(51)
     sh = Seqhash.create(16, 16, 17)
     codes, offsets, seqs = _stream(rng)
@@ -52,7 +53,8 @@ def test_scan_kmers_batches_matches_scan_kmers(batching):
             batches.append((cb, ob))
             i = j
     sc2 = ModimizerScanner(sh, chunk=1 << 12, host_threshold=0)
-    got = sc2.scan_kmers_batches(batches)
+    sc2.feed_group = feed_group      # group-chained dispatch (S chunks per
+    got = sc2.scan_kmers_batches(batches)   # program) must be bit-identical
     assert np.array_equal(want, got)
 
     # consumer mode sees the same slices in the same stream order
@@ -60,6 +62,7 @@ def test_scan_kmers_batches_matches_scan_kmers(batching):
     sc3 = ModimizerScanner(sh, chunk=1 << 12, host_threshold=0)
     na = sc3.scan_kmers(codes, offsets, consumer=chunks_a.append)
     sc4 = ModimizerScanner(sh, chunk=1 << 12, host_threshold=0)
+    sc4.feed_group = feed_group
     nb = sc4.scan_kmers_batches(batches, consumer=chunks_b.append)
     assert na == nb == len(want)
     assert np.array_equal(np.concatenate(chunks_a),
