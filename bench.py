@@ -160,7 +160,7 @@ def _chip_probe(sh, mesh, logf):
     if os.environ.get("MODIMIZER_COMPACT"):
         cands = (os.environ["MODIMIZER_COMPACT"],)
     else:
-        cands = ("fusedc", "fusedb", "onehot_i8")
+        cands = ("fusedd", "fusedc", "onehot_i8")
     # probe with the same scan-chained apparatus as the measurement
     # (single-step programs are dominated by the ~2 ms tunnel dispatch
     # gap, which turned real 15% backend margins into coin flips), and

@@ -842,6 +842,84 @@ def _fused_compact_tail_u64(km2, lm2, e2, base, *, bo, k):
     return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
 
+def _scan_compact_fused_pm(sw, vbits, *, k, w, factor1, C, bo,
+                           meta_isf=False, posmajor=False):
+    """Phase-major fused scan+compact (backend "fusedd"): the plain
+    [32, NW] scan front glued straight onto the fused MXU tail.
+
+    Round-5 finding (scripts/probe_chain_time.py — dependency-chained
+    steps, slope timing; the tunnel pipelines/memoizes repeated identical
+    dispatches, which silently corrupted earlier block-last timings): the
+    phase-major u32 front materializes its (kmer, emit) planes in
+    ~1.1 ms/2^24 on v5e, while the sublane-phase fronts (fusedc) spend
+    ~2.2 ms on the same job in word-plane broadcast materializations +
+    input copies.  The stack-of-32-funnel-rows front that looked like the
+    loser in round 4 is actually the fastest front on this toolchain.
+
+    Blocks are the [32, NW] rows split into BLK-lane runs: block
+    b = r * ipb + jb holds positions 32 (jb BLK + c) + r, c = 0..BLK-1 —
+    a stride-32 position group (stripe class; consumers are order-free
+    and rows carry true positions).  posmajor=True re-blocks to exact
+    stream order with one explicit transpose AFTER the staging barrier,
+    like the other fused backends.
+
+    k <= 16 rides the hand-split u32 front + 6-limb tail; 16 < k <= 32
+    the u64 funnel front + the (2k+16)-bit limb tail (any w via u64
+    Lemire).  Matches seqhash.c:154-196 modimizer semantics; multiset-
+    identical to every other backend (tests/test_scan_kernel_mxu.py)."""
+    NW = C // 32
+    nb = C // BLK
+    ipb = NW // BLK
+    wide = k > 16
+    if wide:
+        hashes, kmers, _pos, isF = _scan_front(sw, k=k, factor1=factor1,
+                                               C=C)
+    else:
+        hashes, kmers, _pos, isF = _scan_front_u32(sw, k=k,
+                                                   factor1=factor1, C=C)
+    valid = _expand_valid(vbits, C)
+    emit = valid & mod_is_zero(hashes, w)
+
+    def blk(x):                     # row split: minor-dim split, layout no-op
+        return x.reshape(nb, BLK)
+
+    if posmajor:
+        # stream-order re-block after the barrier: [32, NW] -> [NW, 32],
+        # flat index 32 i + r == position
+        def reblock(x):
+            return x.reshape(32, NW).T.reshape(nb, BLK)
+
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1)
+        base = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0) \
+            * jnp.uint32(BLK)
+    else:
+        reblock = None
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, BLK), 1) \
+            * jnp.uint32(32)
+        brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
+        base = ((brow % jnp.uint32(ipb)) * jnp.uint32(32 * BLK)
+                + brow // jnp.uint32(ipb))
+    stage = os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0"
+    if meta_isf:
+        km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
+        if stage:
+            km2, isf2, e2 = jax.lax.optimization_barrier((km2, isf2, e2))
+        if reblock is not None:
+            km2, isf2, e2 = reblock(km2), reblock(isf2), reblock(e2)
+        lm2 = (lpos << jnp.uint32(1)) | isf2.astype(jnp.uint32)
+        base = base << jnp.uint32(1)
+    else:
+        km2, e2 = blk(kmers), blk(emit)
+        if stage:
+            km2, e2 = jax.lax.optimization_barrier((km2, e2))
+        if reblock is not None:
+            km2, e2 = reblock(km2), reblock(e2)
+        lm2 = lpos
+    if wide:
+        return _fused_compact_tail_u64(km2, lm2, e2, base, bo=bo, k=k)
+    return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
+
+
 def _expand_valid(vbits, C):
     """[32, NW] validity mask from the packed little-endian bit words:
     vb32[i] holds the bits of positions 32i..32i+31."""
@@ -855,19 +933,20 @@ def _expand_valid(vbits, C):
 
 def compact_backend_default():
     """Compaction backend policy (overridable with MODIMIZER_COMPACT).
-    Round-4 chip ablation (docs/PERF.md): the fused family beats the
-    round-3 winner onehot_i8, and fusedc (funnel-phase axis on sublanes,
-    single-pass packed reassembly, BLK=512) beats fusedb — 5.48 ms/2^24
-    scan-8 wall (3061 Mpos/s) vs fusedb's 6.5 / fused's 8.7 / onehot_i8's
-    10.4.  "fusedc" handles both block layouts (stripe partition and
-    stream-order posmajor) and all k <= 32 (u32 sublane front for k <= 16,
-    u64 sublane front above); it falls back to "fused" only where its gate
-    fails — no packed validity words (vbits is None), block-local meta
-    overflowing the 2-limb/16-bit budget (huge BLK and/or meta_isf), or
-    C not a positive multiple of 32*BLK — and further to "onehot_i8" for
-    the shapes "fused" cannot take (k > 16, w >= 2^32), so it is safe as
-    the global default."""
-    return os.environ.get("MODIMIZER_COMPACT", "fusedc")
+    Round-5 chip ablation with trustworthy chained-slope timing
+    (docs/PERF.md, scripts/probe_chain_time.py): "fusedd" — the plain
+    phase-major [32, NW] front glued onto the fused MXU tail — beats the
+    round-4 winner fusedc 3.69 vs 4.42 ms/2^24 (k=16 w=16, BLK=512,
+    stripe): the sublane-phase front's word-plane broadcasts materialize
+    ~1 ms of copies the phase-major front never makes.  "fusedd" handles
+    both block layouts and all k <= 32 (u32 front for k <= 16, u64 funnel
+    above); it falls back to "fused" only where its gate fails — no
+    packed validity words (vbits is None), block-local meta overflowing
+    the 2-limb/16-bit budget (huge BLK and/or meta_isf), C not a positive
+    multiple of 32*BLK, or k <= 16 with w >= 2^32 — and further to
+    "onehot_i8" for the shapes "fused" cannot take, so it is safe as the
+    global default."""
+    return os.environ.get("MODIMIZER_COMPACT", "fusedd")
 
 
 def _stage_fronts(kmers, pos, emit, k):
@@ -1214,6 +1293,17 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
     # posmajor blocks lpos = c, and meta_isf shifts one more bit
     _lm_max = (((BLK - 1) if posmajor else 32 * (BLK - 1))
                << (1 if meta_isf else 0)) | 1
+    if backend == "fusedd":
+        # phase-major front + fused tail (round-5): same gate class as
+        # fusedc; u32 front for k <= 16 (w < 2^32), u64 funnel for k > 16
+        if (vbits is not None and _lm_max < (1 << 16) and C >= 32 * BLK
+                and C % (32 * BLK) == 0
+                and (k > 16 or w < (1 << 32))):
+            return _scan_compact_fused_pm(sw, vbits, k=k, w=w,
+                                          factor1=factor1, C=C, bo=bo,
+                                          meta_isf=meta_isf,
+                                          posmajor=posmajor)
+        backend = "fused"
     if backend == "fusedc":
         # sublane-phase front (stripe partition, or stream-order posmajor
         # via one explicit relayout); needs packed validity words and

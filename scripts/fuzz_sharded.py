@@ -57,8 +57,8 @@ def rand_stream(rng, overflow_bias):
 
 BACKENDS = ["onehot", "onehot_i8", "twolevel", "twolevel_i8",
             "butterfly", "gather", "searchcmp", "posgather",
-            "posgather_cmp", "fused", "fusedb", "fusedc", "fusedc",
-            "fusedc"]  # fusedc over-weighted: it is the shipped default
+            "posgather_cmp", "fused", "fusedb", "fusedc", "fusedd",
+            "fusedd"]  # fusedd over-weighted: it is the shipped default
 
 
 def trial_build(rng, trial):

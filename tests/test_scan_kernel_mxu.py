@@ -93,7 +93,7 @@ def test_compact_backends_bit_identical(k, w, bo):
         return sorted(zip(t[1][live].tolist(),
                           t[0][live].astype(np.uint64).tolist()))
     want = row_multiset(ref)
-    for be in ["fused", "fusedb", "fusedc"]:
+    for be in ["fused", "fusedb", "fusedc", "fusedd"]:
         out = tuple(np.asarray(x) for x in _scan_compact_local(
             sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend=be))
         assert row_multiset(out) == want, be
@@ -121,7 +121,7 @@ def test_fused_small_chunks_multiset(clog):
                           t[0][live].astype(np.uint64).tolist()))
     ref = tuple(np.asarray(x) for x in _scan_compact_local(
         sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend="onehot_i8"))
-    for be in ["fused", "fusedb", "fusedc"]:
+    for be in ["fused", "fusedb", "fusedc", "fusedd"]:
         out = tuple(np.asarray(x) for x in _scan_compact_local(
             sw, vb, k=k, w=w, factor1=f1, C=C, bo=bo, backend=be))
         assert row_multiset(out) == row_multiset(ref), (be, clog)
