@@ -172,9 +172,11 @@ def _chip_probe(sh, mesh, logf):
         out = st(jnp.int64(0))
         int(np.asarray(out[2]))  # compile + warm + true sync
         best = None
-        for _ in range(2):
+        for rep in range(2):
+            # fresh dep salt per rep: the tunnel memoizes repeated
+            # identical (executable, args) executions (round-5)
             t0 = time.perf_counter()
-            out = st(jnp.int64(0))
+            out = st(jnp.int64(rep + 1))
             int(np.asarray(out[2]))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
@@ -259,31 +261,39 @@ def _tpu_rate_impl(fa, c_entries):
     # (block_until_ready does not actually synchronize under the axon
     # tunnel, so each step consumes the previous step's count and the
     # chain's final scalar is pulled to host).  The steps are chained
-    # INSIDE one lax.scan program: per-program dispatch adds ~2 ms/step
-    # through the tunnel that a double-buffered production feed would
-    # pipeline away (round-4 ablation, docs/PERF.md).
+    # INSIDE one lax.scan program, and the steady-state per-step time is
+    # the SLOPE between a short and a long chain: wall(batch) carries a
+    # fixed ~25-35 ms tunnel round trip (submit + scalar fetch) that a
+    # resident production feed never pays per step — the round-4 harness
+    # divided it into the step time, underreporting the chip by
+    # ~1.9 ms/step.  Each timed batch gets a fresh dep salt: the tunnel
+    # memoizes repeated identical (executable, args) executions
+    # (round-5 discovery, scripts/probe_chain_time.py).
     make_step, C = _chip_apparatus(sh, mesh)
     scan_n = int(os.environ.get("MODIMIZER_BENCH_SCANSTEPS", "8"))
     step = make_step(be_best, scan_n=scan_n)
-    outer = 2
     out = step(jnp.int64(0))
     int(np.asarray(out[2]))   # compile + warm outside the timed window
-    best = None
-    for _batch in range(5):  # best-of-5: same-program step times swing
-        # 11-18 ms across hours on this shared chip (docs/PERF.md r3)
-        t0 = time.perf_counter()
-        dep = jnp.int64(0)
-        for _ in range(outer):
-            out = step(dep)
-            dep = out[2]
-        int(np.asarray(dep))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    reps = outer * scan_n
-    chip = reps * C / best
+    walls = {}
+    for outer in (1, 3):
+        best = None
+        for batch in range(3):  # best-of: same-program step times swing
+            # >15% across hours on this shared chip (docs/PERF.md r3)
+            t0 = time.perf_counter()
+            dep = jnp.int64(1 + 7 * batch + outer)
+            for _ in range(outer):
+                out = step(dep)
+                dep = out[2]
+            int(np.asarray(dep))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        walls[outer] = best
+    step_t = (walls[3] - walls[1]) / (2 * scan_n)
+    chip = C / step_t
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
-        f"({best/reps*1e3:.1f} ms/step of {C}, best of 5 batches of "
-        f"{outer}x scan({scan_n}), backend {be_best})")
+        f"({step_t*1e3:.1f} ms/step of {C}, slope of 1x vs 3x scan"
+        f"({scan_n}) chains, best-of-3 each, backend {be_best}; "
+        f"round trip {walls[1]*1e3 - scan_n*step_t*1e3:.0f} ms excluded)")
     return chip
 
 

@@ -1295,14 +1295,30 @@ def _scan_compact_core(sw, valid, *, k, w, factor1, C, bo, meta_isf=False,
                << (1 if meta_isf else 0)) | 1
     if backend == "fusedd":
         # phase-major front + fused tail (round-5): same gate class as
-        # fusedc; u32 front for k <= 16 (w < 2^32), u64 funnel for k > 16
+        # fusedc.  k <= 16 rides the u32 phase-major front (3.69 vs
+        # fusedc's 4.42 ms/2^24 on chip); for k > 16 the sublane64 front
+        # keeps winning (5.86 vs 6.85 at k=19 — the u64 emulation pairs
+        # materialize worse in the 32-row stack), so wide k delegates to
+        # fusedc's u64 path.  MODIMIZER_FUSEDD_WIDE=pm forces the
+        # phase-major u64 front for ablations.
         if (vbits is not None and _lm_max < (1 << 16) and C >= 32 * BLK
-                and C % (32 * BLK) == 0
-                and (k > 16 or w < (1 << 32))):
-            return _scan_compact_fused_pm(sw, vbits, k=k, w=w,
-                                          factor1=factor1, C=C, bo=bo,
-                                          meta_isf=meta_isf,
-                                          posmajor=posmajor)
+                and C % (32 * BLK) == 0):
+            if k <= 16 and w < (1 << 32):
+                return _scan_compact_fused_pm(sw, vbits, k=k, w=w,
+                                              factor1=factor1, C=C, bo=bo,
+                                              meta_isf=meta_isf,
+                                              posmajor=posmajor)
+            if k > 16:
+                if os.environ.get("MODIMIZER_FUSEDD_WIDE") == "pm":
+                    return _scan_compact_fused_pm(sw, vbits, k=k, w=w,
+                                                  factor1=factor1, C=C,
+                                                  bo=bo, meta_isf=meta_isf,
+                                                  posmajor=posmajor)
+                return _scan_compact_fused_sublane64(sw, vbits, k=k, w=w,
+                                                     factor1=factor1, C=C,
+                                                     bo=bo,
+                                                     meta_isf=meta_isf,
+                                                     posmajor=posmajor)
         backend = "fused"
     if backend == "fusedc":
         # sublane-phase front (stripe partition, or stream-order posmajor

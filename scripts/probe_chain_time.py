@@ -48,6 +48,9 @@ from modimizer_tpu.parallel.sharded import _scan_compact_local, \
     _scan_front_u32
 
 K, W, SEED = 16, 16, 17
+import os as _os
+K = int(_os.environ.get("MODIMIZER_BENCH_K", K))
+W = int(_os.environ.get("MODIMIZER_BENCH_W", W))
 C_LOG2 = int(sys.argv[1]) if len(sys.argv) > 1 else 24
 S1 = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 S2 = int(sys.argv[3]) if len(sys.argv) > 3 else 12
