@@ -158,6 +158,93 @@ def main():
                 + jnp.sum(emit.astype(jnp.uint32))
                 ).astype(jnp.uint32).reshape(())
 
+    def front_xla64_step(sw):
+        from modimizer_tpu.parallel.sharded import _scan_front
+        hashes, kmers, pos, isF = _scan_front(sw, k=K, factor1=sh.factor1,
+                                              C=C)
+        emit = mod_is_zero(hashes, W)
+        kmers, emit = jax.lax.optimization_barrier((kmers, emit))
+        return (jnp.sum(kmers.astype(jnp.uint32))
+                + jnp.sum(emit.astype(jnp.uint32))
+                ).astype(jnp.uint32).reshape(())
+
+    def front_b32(sw):
+        """u32 phase-major front, broadcast formulation: rows from
+        [1, NW] sublane broadcasts + iota-driven variable shifts instead
+        of a 32-row stacked python loop."""
+        from modimizer_tpu.ops.packed import derive_tw as _dtw
+        NWl = C // 32
+        tw = _dtw(sw)
+        sA = (sw >> jnp.uint64(32)).astype(jnp.uint32)
+        sB = sw.astype(jnp.uint32)
+        tA = (tw >> jnp.uint64(32)).astype(jnp.uint32)
+        tB = tw.astype(jnp.uint32)
+        A0 = sA[:NWl][None, :]
+        B0 = sB[:NWl][None, :]
+        A1 = sA[1:NWl + 1][None, :]
+        At0 = tA[:NWl][None, :]
+        Bt0 = tB[:NWl][None, :]
+        Bt1 = tB[1:NWl + 1][None, :]
+        r = jax.lax.broadcasted_iota(jnp.uint32, (32, NWl), 0)
+        r2 = r * jnp.uint32(2)
+        lo = r < jnp.uint32(16)
+        # shift counts clamped into [0, 31] on the dead branch
+        sh_a = jnp.where(lo, r2, r2 - jnp.uint32(32))
+        sh_b = jnp.where(lo, jnp.uint32(32) - r2,
+                         jnp.uint32(64) - r2) & jnp.uint32(31)
+        h32 = jnp.where(lo,
+                        (A0 << sh_a) | jnp.where(r == jnp.uint32(0),
+                                                 jnp.uint32(0), B0 >> sh_b),
+                        (B0 << sh_a) | jnp.where(r == jnp.uint32(16),
+                                                 jnp.uint32(0), A1 >> sh_b))
+        t32 = jnp.where(lo,
+                        (Bt0 >> sh_a) | jnp.where(r == jnp.uint32(0),
+                                                  jnp.uint32(0),
+                                                  At0 << sh_b),
+                        (At0 >> sh_a) | jnp.where(r == jnp.uint32(16),
+                                                  jnp.uint32(0),
+                                                  Bt1 << sh_b))
+        from modimizer_tpu.parallel.sharded import _hash32_hi
+        hf = _hash32_hi(h32, sh.factor1)
+        hr = _hash32_hi(t32, sh.factor1)
+        isF = hf < hr
+        hashes = jnp.where(isF, hf, hr)
+        kmers = jnp.where(isF, h32, t32)
+        return hashes, kmers, isF
+
+    def front_b32_step(sw):
+        hashes, kmers, isF = front_b32(sw)
+        emit = mod_is_zero(hashes, W)
+        kmers, emit = jax.lax.optimization_barrier((kmers, emit))
+        return (jnp.sum(kmers.astype(jnp.uint32))
+                + jnp.sum(emit.astype(jnp.uint32))).astype(
+                    jnp.uint32).reshape(())
+
+    def fusedd_b32_step(sw):
+        from modimizer_tpu.parallel.sharded import BLK as _BLK, \
+            _fused_compact_tail
+        nb = C // _BLK
+        ipb = (C // 32) // _BLK
+        hashes, kmers, isF = front_b32(sw)
+        v32 = jax.lax.bitcast_convert_type(vb_d, jnp.uint32).reshape(
+            C // 32)
+        rr = jax.lax.broadcasted_iota(jnp.uint32, (32, C // 32), 0)
+        validm = ((v32[None, :] >> rr) & jnp.uint32(1)).astype(jnp.bool_)
+        emit = validm & mod_is_zero(hashes, W)
+        km2 = kmers.reshape(nb, _BLK)
+        e2 = emit.reshape(nb, _BLK)
+        if _os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0":
+            km2, e2 = jax.lax.optimization_barrier((km2, e2))
+        lpos = jax.lax.broadcasted_iota(jnp.uint32, (nb, _BLK), 1) \
+            * jnp.uint32(32)
+        brow = jax.lax.broadcasted_iota(jnp.uint32, (nb, 1), 0)
+        base = ((brow % jnp.uint32(ipb)) * jnp.uint32(32 * _BLK)
+                + brow // jnp.uint32(ipb))
+        ok, op, n, ov = _fused_compact_tail(km2, lpos, e2, base, bo=bo)
+        return (n.astype(jnp.uint32)
+                + jnp.sum(ok.astype(jnp.uint32)).astype(jnp.uint32)
+                + jnp.sum(op).astype(jnp.uint32)).astype(jnp.uint32)
+
     def be_step(sw, backend, posmajor):
         from modimizer_tpu.parallel.sharded import _scan_compact_core, \
             _expand_valid
@@ -191,6 +278,10 @@ def main():
         "fusedd": lambda sw: be_step(sw, "fusedd", False),
         "fusedd_pm": lambda sw: be_step(sw, "fusedd", True),
         "onehot_i8": lambda sw: be_step(sw, "onehot_i8", False),
+        "twolevel_i8": lambda sw: be_step(sw, "twolevel_i8", False),
+        "front_b32": front_b32_step,
+        "front_xla64": front_xla64_step,
+        "fusedd_b32": fusedd_b32_step,
     }
 
     for name in VARIANTS:
