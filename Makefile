@@ -25,6 +25,11 @@ bench:          # headline: kmers/s on one TPU chip (host fallback if no chip)
 bench-all:      # all five BASELINE configs vs the compiled C reference
 	$(PY) bench_all.py
 
+native-cli:     # C++ modutils fast path (bin/modutils-native)
+	g++ -O2 -march=native -o bin/modutils-native \
+	    modimizer_tpu/native/modutils_cli.cpp \
+	    modimizer_tpu/native/modset_native.cpp -lz -l:libdeflate.a
+
 scaling:        # N-device weak scaling of the sharded build
 	$(PY) bench_scaling.py
 
