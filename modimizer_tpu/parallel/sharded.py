@@ -872,13 +872,17 @@ def _scan_compact_fused_pm(sw, vbits, *, k, w, factor1, C, bo,
     ipb = NW // BLK
     wide = k > 16
     if wide:
-        hashes, kmers, _pos, isF = _scan_front(sw, k=k, factor1=factor1,
-                                               C=C)
+        # u32-pair front: no u64 tensors anywhere (round-5 chip data: the
+        # u64 stack front's emulation pairs materialize at bad layouts)
+        kmh, kml, hh, hl, isF = _scan_front_u32pair(sw, k=k,
+                                                    factor1=factor1, C=C)
+        emit = _expand_valid(vbits, C) & _pair_mod_is_zero(hh, hl, w)
+        planes = (kmh, kml)
     else:
         hashes, kmers, _pos, isF = _scan_front_u32(sw, k=k,
                                                    factor1=factor1, C=C)
-    valid = _expand_valid(vbits, C)
-    emit = valid & mod_is_zero(hashes, w)
+        emit = _expand_valid(vbits, C) & mod_is_zero(hashes, w)
+        planes = (kmers,)
 
     def blk(x):                     # row split: minor-dim split, layout no-op
         return x.reshape(nb, BLK)
@@ -900,24 +904,207 @@ def _scan_compact_fused_pm(sw, vbits, *, k, w, factor1, C, bo,
         base = ((brow % jnp.uint32(ipb)) * jnp.uint32(32 * BLK)
                 + brow // jnp.uint32(ipb))
     stage = os.environ.get("MODIMIZER_FUSED_STAGE", "1") != "0"
+    staged = tuple(blk(p) for p in planes) + (blk(emit),)
     if meta_isf:
-        km2, isf2, e2 = blk(kmers), blk(isF), blk(emit)
-        if stage:
-            km2, isf2, e2 = jax.lax.optimization_barrier((km2, isf2, e2))
-        if reblock is not None:
-            km2, isf2, e2 = reblock(km2), reblock(isf2), reblock(e2)
-        lm2 = (lpos << jnp.uint32(1)) | isf2.astype(jnp.uint32)
+        staged = staged + (blk(isF),)
+    if stage:
+        staged = jax.lax.optimization_barrier(staged)
+    if reblock is not None:
+        staged = tuple(reblock(x) for x in staged)
+    e2 = staged[len(planes)]
+    if meta_isf:
+        lm2 = (lpos << jnp.uint32(1)) | staged[-1].astype(jnp.uint32)
         base = base << jnp.uint32(1)
     else:
-        km2, e2 = blk(kmers), blk(emit)
-        if stage:
-            km2, e2 = jax.lax.optimization_barrier((km2, e2))
-        if reblock is not None:
-            km2, e2 = reblock(km2), reblock(e2)
         lm2 = lpos
     if wide:
-        return _fused_compact_tail_u64(km2, lm2, e2, base, bo=bo, k=k)
-    return _fused_compact_tail(km2, lm2, e2, base, bo=bo)
+        return _fused_compact_tail_u64pair(staged[0], staged[1], lm2, e2,
+                                           base, bo=bo, k=k)
+    return _fused_compact_tail(staged[0], lm2, e2, base, bo=bo)
+
+
+def _mulhi32(a, b_const):
+    """Bits 32..63 of a * b for u32 a and a compile-time u32 constant, via
+    16-bit partial products (cf. _hash32_hi, which fuses the +lo32(a*Fh)
+    term; this is the bare mulhi for the pair-math paths)."""
+    b0 = jnp.uint32(b_const & 0xFFFF)
+    b1 = jnp.uint32(b_const >> 16)
+    a0 = a & jnp.uint32(0xFFFF)
+    a1 = a >> jnp.uint32(16)
+    c = a1 * b0 + ((a0 * b0) >> jnp.uint32(16))
+    d = a0 * b1
+    carry = ((c >> jnp.uint32(16)) + (d >> jnp.uint32(16))
+             + (((c & jnp.uint32(0xFFFF)) + (d & jnp.uint32(0xFFFF)))
+                >> jnp.uint32(16)))
+    return a1 * b1 + carry
+
+
+def _pair_mul64(ah, al, m_const):
+    """(ah, al) * m mod 2^64 for a u32 pair and a 64-bit constant, as a
+    u32 pair: lo = mullo(al, Ml); hi = mulhi(al, Ml) + al*Mh + ah*Ml."""
+    Ml = m_const & 0xFFFFFFFF
+    Mh = (m_const >> 32) & 0xFFFFFFFF
+    lo = al * jnp.uint32(Ml)
+    hi = _mulhi32(al, Ml) + al * jnp.uint32(Mh) + ah * jnp.uint32(Ml)
+    return hi, lo
+
+
+def _pair_mod_is_zero(hh, hl, w):
+    """mod_is_zero for a u64 hash carried as a u32 pair — same Lemire-Kaser
+    test as ops/packed.mod_is_zero's u64 branch, with the multiply, rotate,
+    and compare all in u32 pair math (no u64 tensors)."""
+    from ..ops.packed import _inv_odd, _is_pow2
+    if _is_pow2(w):
+        if w <= (1 << 32):
+            return (hl & jnp.uint32(w - 1)) == jnp.uint32(0)
+        return ((hl == jnp.uint32(0))
+                & ((hh & jnp.uint32((w >> 32) - 1)) == jnp.uint32(0)))
+    t = (w & -w).bit_length() - 1
+    ph, plo = _pair_mul64(hh, hl, _inv_odd(w >> t, 64))
+    if t:  # ror64 by t (1..63) on the pair
+        if t < 32:
+            s, inv = jnp.uint32(t), jnp.uint32(32 - t)
+            ph, plo = ((ph >> s) | (plo << inv), (plo >> s) | (ph << inv))
+        elif t == 32:
+            ph, plo = plo, ph
+        else:
+            s, inv = jnp.uint32(t - 32), jnp.uint32(64 - t)
+            ph, plo = ((plo >> s) | (ph << inv), (ph >> s) | (plo << inv))
+    lim = ((1 << 64) - 1) // w
+    Lh, Ll = jnp.uint32(lim >> 32), jnp.uint32(lim & 0xFFFFFFFF)
+    return (ph < Lh) | ((ph == Lh) & (plo <= Ll))
+
+
+def _scan_front_u32pair(sw, *, k, factor1, C):
+    """Phase-major scan front for 16 < k <= 32 with every tensor a u32
+    pair — bit-exact to _scan_front, no u64 arrays anywhere (XLA's u64
+    emulation materializes its hi/lo pairs at unfortunate layouts in the
+    32-row stack; hand-split pairs keep everything in the same fused u32
+    loops that make the k <= 16 phase-major front fast).
+
+    Returns (kmh, kml, emit_hash_hi, emit_hash_lo, isF) — canonical kmer
+    pair, canonical hash pair, strand flag — all [32, NW]."""
+    assert 16 < k <= 32
+    NW = C // 32
+    tw = derive_tw(sw)
+    sA = (sw >> jnp.uint64(32)).astype(jnp.uint32)
+    sB = sw.astype(jnp.uint32)
+    tA = (tw >> jnp.uint64(32)).astype(jnp.uint32)
+    tB = tw.astype(jnp.uint32)
+    A0, B0, A1, B1 = sA[:NW], sB[:NW], sA[1:NW + 1], sB[1:NW + 1]
+    At0, Bt0, At1, Bt1 = tA[:NW], tB[:NW], tA[1:NW + 1], tB[1:NW + 1]
+    shift1 = 64 - 2 * k                       # in [0, 30] for k > 16
+    s1 = jnp.uint32(shift1)
+    inv1 = jnp.uint32(32 - shift1)
+    kh_rows, kl_rows, rh_rows, rl_rows = [], [], [], []
+    for r in range(32):
+        # forward funnel pair f = w0s << 2r | w1s >> (64-2r)
+        if r == 0:
+            fh, fl = A0, B0
+        elif r < 16:
+            s, i32 = jnp.uint32(2 * r), jnp.uint32(32 - 2 * r)
+            fh = (A0 << s) | (B0 >> i32)
+            fl = (B0 << s) | (A1 >> i32)
+        elif r == 16:
+            fh, fl = B0, A1
+        else:
+            s, i32 = jnp.uint32(2 * r - 32), jnp.uint32(64 - 2 * r)
+            fh = (B0 << s) | (A1 >> i32)
+            fl = (A1 << s) | (B1 >> i32)
+        # rc funnel pair g = w0t >> 2r | w1t << (64-2r)
+        if r == 0:
+            gh, gl = At0, Bt0
+        elif r < 16:
+            s, i32 = jnp.uint32(2 * r), jnp.uint32(32 - 2 * r)
+            gl = (Bt0 >> s) | (At0 << i32)
+            gh = (At0 >> s) | (Bt1 << i32)
+        elif r == 16:
+            gh, gl = Bt1, At0
+        else:
+            s, i32 = jnp.uint32(2 * r - 32), jnp.uint32(64 - 2 * r)
+            gl = (At0 >> s) | (Bt1 << i32)
+            gh = (Bt1 >> s) | (At1 << i32)
+        # kf = f >> shift1, kr = g & mask2k
+        if shift1 == 0:
+            kh_rows.append(fh)
+            kl_rows.append(fl)
+        else:
+            kh_rows.append(fh >> s1)
+            kl_rows.append((fl >> s1) | (fh << inv1))
+        rh_rows.append(gh & jnp.uint32((1 << (2 * k - 32)) - 1)
+                       if k < 32 else gh)
+        rl_rows.append(gl)
+    kfh = jnp.stack(kh_rows, axis=0)
+    kfl = jnp.stack(kl_rows, axis=0)
+    krh = jnp.stack(rh_rows, axis=0)
+    krl = jnp.stack(rl_rows, axis=0)
+    # hash = (kmer * factor1) mod 2^64 >> shift1, per strand, pair math
+    def hash_pair(ah, al):
+        qh, ql = _pair_mul64(ah, al, factor1)
+        if shift1 == 0:
+            return qh, ql
+        return qh >> s1, (ql >> s1) | (qh << inv1)
+    hfh, hfl = hash_pair(kfh, kfl)
+    hrh, hrl = hash_pair(krh, krl)
+    isF = (hfh < hrh) | ((hfh == hrh) & (hfl < hrl))
+    hh = jnp.where(isF, hfh, hrh)
+    hl = jnp.where(isF, hfl, hrl)
+    kmh = jnp.where(isF, kfh, krh)
+    kml = jnp.where(isF, kfl, krl)
+    return kmh, kml, hh, hl, isF
+
+
+def _fused_compact_tail_u64pair(kmh, kml, lm2, e2, base, *, bo, k):
+    """The u64 fused tail (_fused_compact_tail_u64) with the kmer carried
+    as a u32 pair end to end: limb planes come from three u32 words
+    (V = kmer << 16 | meta, 2k+16 <= 80 bits), the dot is unchanged, and
+    reassembly rebuilds u32 words — u64 appears only in the final
+    [nb, bo] outputs (sentinel contract)."""
+    nb = kmh.shape[0]
+    ut = (jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+          <= jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+          ).astype(jnp.int8)
+    csum = jax.lax.dot_general(e2.astype(jnp.int8), ut,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    dest = jnp.where(e2, csum - 1, -1)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (nb, bo, BLK), 1)
+    onehot = (dest[:, None, :] == slots).astype(jnp.int8)
+    cnts = csum[:, -1]
+    live = jax.lax.broadcasted_iota(jnp.int32, (nb, bo), 1) < cnts[:, None]
+    nbits = 2 * k + 16
+    nl = -(-nbits // 8)
+    # V's three u32 words: v0 = bits 0..31, v1 = 32..63, v2 = 64..79
+    v0 = (kml << jnp.uint32(16)) | lm2
+    v1 = (kml >> jnp.uint32(16)) | (kmh << jnp.uint32(16))
+    v2 = kmh >> jnp.uint32(16)
+    c3 = jax.lax.broadcasted_iota(jnp.uint32, (nb, nl, BLK), 1)
+    word = jnp.where(c3 < jnp.uint32(4), v0[:, None, :],
+                     jnp.where(c3 < jnp.uint32(8), v1[:, None, :],
+                               v2[:, None, :]))
+    val = (word >> ((c3 & jnp.uint32(3)) * jnp.uint32(8))) & jnp.uint32(0xFF)
+    cols = (val.astype(jnp.int32) - 128).astype(jnp.int8)
+    out = jax.lax.dot_general(cols, onehot,
+                              (((2,), (2,)), ((0,), (0,))),
+                              preferred_element_type=jnp.int32)
+    o = jnp.where(live[:, None, :], out + 128, 0).astype(jnp.uint32)
+    def word_of(c0):
+        w_ = o[:, c0]
+        for c in range(c0 + 1, min(c0 + 4, nl)):
+            w_ = w_ | (o[:, c] << jnp.uint32(8 * (c - c0)))
+        return w_
+    o0, o1 = word_of(0), word_of(4)
+    o2 = word_of(8) if nl > 8 else jnp.zeros((nb, bo), jnp.uint32)
+    okl = (o0 >> jnp.uint32(16)) | (o1 << jnp.uint32(16))
+    okh = (o1 >> jnp.uint32(16)) | (o2 << jnp.uint32(16))
+    olm = o0 & jnp.uint32(0xFFFF)
+    okmer = (okh.astype(jnp.uint64) << jnp.uint64(32)) | okl.astype(
+        jnp.uint64)
+    out_k = jnp.where(live, okmer, U64_SENTINEL).reshape(-1)
+    out_p = jnp.where(live, base + olm,
+                      jnp.uint32(0xFFFFFFFF)).reshape(-1)
+    n_emit = jnp.sum(cnts).astype(jnp.int64)
+    return out_k, out_p, n_emit, jnp.any(cnts > bo)
 
 
 def _expand_valid(vbits, C):
