@@ -202,3 +202,46 @@ def test_blk_env_row_set_invariant():
         assert blk_got == blk
         outs.add((n, digest))
     assert len(outs) == 1, outs
+
+
+@pytest.mark.parametrize("k,w,posmajor", [(19, 31, False), (19, 31, True),
+                                          (24, 101, False), (31, 31, True)])
+def test_fusedd_wide_pair_path_bit_identical(k, w, posmajor):
+    """The env-gated u32-pair wide-k path (MODIMIZER_FUSEDD_WIDE=pm,
+    _scan_front_u32pair + _fused_compact_tail_u64pair) must stay
+    bit-identical to the shipped sublane64 route — it is the measured-
+    slower ablation kept runnable (docs/PERF.md round-5) and the pair
+    Lemire emit test deserves its own regression."""
+    from modimizer_tpu.core.seqhash import Seqhash as SH
+    from modimizer_tpu.ops.seqhash import scan_bo
+    from modimizer_tpu.parallel.sharded import (BLK, _expand_valid,
+                                                _scan_compact_core)
+    sh = SH.create(k, w, 17)
+    C = 32 * BLK
+    rng = np.random.default_rng(k * 100 + w)
+    codes = rng.integers(0, 4, C + k - 1).astype(np.uint8)
+    vmask = rng.random(C) < 0.9
+    sw = jnp.asarray(pack_sw(codes, C // 32 + 2))
+    vb = jnp.asarray(pack_bits(vmask, C // 64))
+    bo = scan_bo(w)
+
+    def run(env_pm):
+        import os
+        old = os.environ.pop("MODIMIZER_FUSEDD_WIDE", None)
+        if env_pm:
+            os.environ["MODIMIZER_FUSEDD_WIDE"] = "pm"
+        try:
+            o = _scan_compact_core(
+                sw, _expand_valid(vb, C), k=k, w=w, factor1=sh.factor1,
+                C=C, bo=bo, backend="fusedd", posmajor=posmajor,
+                meta_isf=True, vbits=vb)
+        finally:
+            os.environ.pop("MODIMIZER_FUSEDD_WIDE", None)
+            if old is not None:
+                os.environ["MODIMIZER_FUSEDD_WIDE"] = old
+        ok, op = np.asarray(o[0]), np.asarray(o[1])
+        live = ok != np.uint64(0xFFFFFFFFFFFFFFFF)
+        rows = list(zip(ok[live].tolist(), op[live].tolist()))
+        return (int(o[2]), rows if posmajor else sorted(rows), bool(o[3]))
+
+    assert run(True) == run(False)
