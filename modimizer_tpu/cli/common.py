@@ -10,17 +10,7 @@ resource lines, and die() semantics (exit -1 with "FATAL ERROR: ").
 import sys
 
 from ..utils.timers import Timer
-
-
-def die(fmt, *args):
-    sys.stderr.write("FATAL ERROR: " + (fmt % args if args else fmt) + "\n")
-    sys.exit(255)  # C exit(-1)
-
-
-def warn(fmt, *args):
-    # NB reference warn() also exits (utils.c:32-43)
-    sys.stderr.write("WARNING: " + (fmt % args if args else fmt) + "\n")
-    sys.exit(255)
+from ..utils.errors import die, warn  # noqa: F401  (ARGMATCH-layer exports)
 
 
 class Args:

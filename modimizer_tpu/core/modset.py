@@ -19,6 +19,7 @@ import numpy as np
 
 from .seqhash import Seqhash
 from ..native import lib as native_lib
+from ..utils.errors import die
 from ..utils import alloc
 from ..io.fzio import GzWriter, read_maybe_gz
 
@@ -86,8 +87,10 @@ class Modset:
             self.max, self.size, kmers, counts_ptr, len(kmers),
             out_idx.ctypes.data if return_indices else None)
         if new_max < 0:
-            raise RuntimeError(
-                f"hashTableSize {self.size} is too small")
+            # reference dies from inside the insert (modset.c:58) with
+            # max == size at first overflow — identical message + exit
+            die("hashTableSize %u is too small for %u",
+                self.size, self.size)
         self.max = int(new_max)
         return out_idx if return_indices else None
 
@@ -161,7 +164,8 @@ class Modset:
                 np.ascontiguousarray(other.depth[1:n + 1], np.uint16),
                 np.ascontiguousarray(other.info[1:n + 1], np.uint8), n)
             if new_max < 0:
-                raise RuntimeError(f"hashTableSize {self.size} is too small")
+                die("hashTableSize %u is too small for %u",
+                    self.size, self.size)  # modset.c:58 via modsetMerge
             self.max = int(new_max)
         return True
 

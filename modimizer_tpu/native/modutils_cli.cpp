@@ -398,10 +398,11 @@ struct Modset {
                                   max, size, o.value + 1,
                                   o.depth + 1, o.info + 1,
                                   o.max);
-      if (nm < 0) {
-        fprintf(stderr, "RuntimeError: hashTableSize %lld is too small\n",
-                (long long)size);
-        exit(1);
+      if (nm < 0) {  // modset.c:58 die(), max == size at first overflow
+        fprintf(stderr,
+                "FATAL ERROR: hashTableSize %lld is too small for %lld\n",
+                (long long)size, (long long)size);
+        exit(255);
       }
       max = nm;
     }
