@@ -488,11 +488,25 @@ int main(int argc, char **argv) {
     }
   }
 
-  // ---- pre-validate every input file (open + parse) BEFORE any output,
-  // so unreadable/corrupt inputs take the Python path bit-exactly.
-  // Reads are kept: the -r/-m handlers below reuse them.
+  // ---- pre-validate every input file (open + parse) BEFORE any output
+  // or filesystem side effect, so unreadable/corrupt inputs take the
+  // Python path bit-exactly.  Reads are kept: the handlers reuse them.
+  // Inputs validate in pass 1; -w openability probes run in pass 2 ONLY
+  // after every input is known good — a -w probe creates the file
+  // (O_CREAT, no truncate), which must not happen on a chain the Python
+  // CLI would abort before reaching that -w.
   std::vector<Modset> loaded;
   std::vector<int> load_at;  // argv index of each -r/-m
+  auto step_over = [&](const char *a, int &i) {
+    if (!strcmp(a, "-v") || !strcmp(a, "--verbose"))
+      i += 1;
+    else if (!strcmp(a, "-p") || !strcmp(a, "--prune"))
+      i += 3;
+    else if (!strcmp(a, "-s") || !strcmp(a, "--setcopy"))
+      i += 4;
+    else
+      i += 2;  // -r -m -w -sM
+  };
   for (int i = 1; i < argc;) {
     const char *a = argv[i];
     if (!strcmp(a, "-r") || !strcmp(a, "--read") || !strcmp(a, "-m") ||
@@ -505,22 +519,22 @@ int main(int argc, char **argv) {
       if (!loaded.back().parse(std::move(raw))) delegate();
       load_at.push_back(i);
       i += 2;
-    } else if (!strcmp(a, "-w") || !strcmp(a, "--write")) {
-      // openability pre-check WITHOUT truncation (O_CREAT matches the
-      // side effect the Python run would eventually make; on failure the
-      // Python CLI reproduces its uncaught-OSError behavior)
+    } else {
+      step_over(a, i);
+    }
+  }
+  for (int i = 1; i < argc;) {
+    const char *a = argv[i];
+    if (!strcmp(a, "-w") || !strcmp(a, "--write")) {
+      // openability probe WITHOUT truncation (O_CREAT matches the side
+      // effect the Python run would eventually make on this chain; on
+      // failure the Python CLI reproduces its uncaught-OSError behavior)
       FILE *t = fopen(argv[i + 1], "ab");
       if (!t) delegate();
       fclose(t);
       i += 2;
-    } else if (!strcmp(a, "-p") || !strcmp(a, "--prune")) {
-      i += 3;
-    } else if (!strcmp(a, "-s") || !strcmp(a, "--setcopy")) {
-      i += 4;
-    } else if (!strcmp(a, "-sM") || !strcmp(a, "--setcopyM")) {
-      i += 2;
     } else {
-      i += (!strcmp(a, "-v") || !strcmp(a, "--verbose")) ? 1 : 2;
+      step_over(a, i);
     }
   }
 
