@@ -102,7 +102,10 @@ def _chip_apparatus(sh, mesh):
         from modimizer_tpu.ops.packed import pack_bits, pack_sw
         from modimizer_tpu.parallel.sharded import (ShardedModsetBuilder,
                                                     _scan_compact_local)
-        b2 = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 24)
+        # chunk 2^23: round-5 chunk-size sweep (docs/PERF.md) — per-position
+        # rate is ~1.45x the 2^24 chunk's (6.0 vs 4.2 Gpos/s; the step's
+        # live intermediates appear to stop fitting on-chip beyond 2^23)
+        b2 = ShardedModsetBuilder(sh, mesh, chunk_per_dev=1 << 23)
         C = b2.chunk
         # resident-data microbench: random codes (the compact step's cost
         # is shape-fixed, independent of emit pattern)
