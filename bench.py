@@ -168,10 +168,13 @@ def _chip_probe(sh, mesh, logf):
     # (single-step programs are dominated by the ~2 ms tunnel dispatch
     # gap, which turned real 15% backend margins into coin flips), and
     # min-of-2 batches against the shared chip's step-time swings
-    scan_n = int(os.environ.get("MODIMIZER_BENCH_SCANSTEPS", "8"))
+    scan_n = int(os.environ.get("MODIMIZER_BENCH_SCANSTEPS", "16"))
+    # x3: at the 2^23 chunk a scan-16 chain is ~22 ms of device time vs a
+    # ~25 ms round trip — probe chains are tripled so real 5-15% backend
+    # margins are not coin flips under the RT noise
     probe = {}
     for be in cands:
-        st = make_step(be, scan_n=scan_n)
+        st = make_step(be, scan_n=3 * scan_n)
         out = st(jnp.int64(0))
         int(np.asarray(out[2]))  # compile + warm + true sync
         best = None
@@ -183,7 +186,7 @@ def _chip_probe(sh, mesh, logf):
             int(np.asarray(out[2]))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        probe[be] = best / scan_n
+        probe[be] = best / (3 * scan_n)
     be_best = min(probe, key=probe.get)
     if len(cands) > 1:
         logf("backend probe: " + ", ".join(
@@ -273,7 +276,7 @@ def _tpu_rate_impl(fa, c_entries):
     # memoizes repeated identical (executable, args) executions
     # (round-5 discovery, scripts/probe_chain_time.py).
     make_step, C = _chip_apparatus(sh, mesh)
-    scan_n = int(os.environ.get("MODIMIZER_BENCH_SCANSTEPS", "8"))
+    scan_n = int(os.environ.get("MODIMIZER_BENCH_SCANSTEPS", "16"))
     step = make_step(be_best, scan_n=scan_n)
     out = step(jnp.int64(0))
     int(np.asarray(out[2]))   # compile + warm outside the timed window
@@ -294,7 +297,7 @@ def _tpu_rate_impl(fa, c_entries):
     step_t = (walls[3] - walls[1]) / (2 * scan_n)
     chip = C / step_t
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
-        f"({step_t*1e3:.1f} ms/step of {C}, slope of 1x vs 3x scan"
+        f"({step_t*1e3:.2f} ms/step of {C}, slope of 1x vs 3x scan"
         f"({scan_n}) chains, best-of-3 each, backend {be_best}; "
         f"round trip {walls[1]*1e3 - scan_n*step_t*1e3:.0f} ms excluded)")
     return chip
