@@ -26,9 +26,8 @@ bench-all:      # all five BASELINE configs vs the compiled C reference
 	$(PY) bench_all.py
 
 native-cli:     # C++ modutils fast path (bin/modutils-native)
-	g++ -O2 -march=native -o bin/modutils-native \
-	    modimizer_tpu/native/modutils_cli.cpp \
-	    modimizer_tpu/native/modset_native.cpp -lz -l:libdeflate.a
+	$(PY) -c "from modimizer_tpu.native import build_cli; \
+	    import sys; sys.exit(0 if build_cli(force=True) else 1)"
 
 scaling:        # N-device weak scaling of the sharded build
 	$(PY) bench_scaling.py

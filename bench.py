@@ -295,6 +295,13 @@ def _tpu_rate_impl(fa, c_entries):
             best = dt if best is None else min(best, dt)
         walls[outer] = best
     step_t = (walls[3] - walls[1]) / (2 * scan_n)
+    if step_t <= 0:
+        # chip noise made the short chain slower than the long one;
+        # fall back to the conservative whole-wall estimate (includes
+        # the round trip) rather than printing a nonsense rate
+        step_t = walls[3] / (3 * scan_n)
+        log("slope non-positive (chip noise); using conservative "
+            "whole-wall step time")
     chip = C / step_t
     log(f"chip rate: {chip/1e6:.1f} Mkmers/s/chip "
         f"({step_t*1e3:.2f} ms/step of {C}, slope of 1x vs 3x scan"

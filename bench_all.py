@@ -96,21 +96,12 @@ NATIVE_CLI = os.path.join(REPO, "bin", "modutils-native")
 
 
 def build_native_cli():
-    """Build the C++ modutils fast path (load/annotate/merge/write command
-    shapes with zero interpreter cost; delegates everything else to the
-    Python CLI — native/modutils_cli.cpp).  Cached by mtime."""
-    src = os.path.join(REPO, "modimizer_tpu", "native", "modutils_cli.cpp")
-    dep = os.path.join(REPO, "modimizer_tpu", "native", "modset_native.cpp")
-    if (os.path.exists(NATIVE_CLI)
-            and os.path.getmtime(NATIVE_CLI) >= os.path.getmtime(src)
-            and os.path.getmtime(NATIVE_CLI) >= os.path.getmtime(dep)):
-        return True
-    r = subprocess.run(["g++", "-O2", "-march=native", "-o", NATIVE_CLI,
-                        src, dep, "-lz", "-l:libdeflate.a"],
-                       capture_output=True)
-    if r.returncode != 0:
-        sys.stderr.write("native CLI build failed, using Python CLI:\n"
-                         + r.stderr.decode()[-500:] + "\n")
+    """Build the C++ modutils fast path via the single shared recipe
+    (modimizer_tpu.native.build_cli); falls back to the Python CLI when
+    the toolchain is missing."""
+    from modimizer_tpu.native import build_cli
+    if build_cli() is None:
+        sys.stderr.write("native CLI build unavailable, using Python CLI\n")
         return False
     return True
 
@@ -131,7 +122,8 @@ def timed_pair(name, tool, arg_lists, fixture=None):
     # bench.py's job (measured on-chip, steady state).  Dropping
     # PALLAS_AXON_POOL_IPS skips this image's sitecustomize axon/jax
     # registration (~4 s of every python start the C binaries don't pay).
-    env = {**os.environ, "MODIMIZER_SCAN": "host"}
+    env = {**os.environ, "MODIMIZER_SCAN": "host",
+           "MODIMIZER_PYTHON": sys.executable}
     env.pop("PALLAS_AXON_POOL_IPS", None)
     out = {"ref": [], "ours": []}
     reps = int(os.environ.get("MODIMIZER_BENCH_REPS", "3"))

@@ -9,8 +9,22 @@ resource lines, and die() semantics (exit -1 with "FATAL ERROR: ").
 
 import sys
 
+import functools
+
 from ..utils.timers import Timer
-from ..utils.errors import die, warn  # noqa: F401  (ARGMATCH-layer exports)
+from ..utils.errors import ModsetOverflowError, die, warn  # noqa: F401
+
+
+def cli_guard(main_fn):
+    """Convert library ModsetOverflowError to the reference's die()
+    (exact message + exit -1, utils.c:21-30) at the CLI boundary."""
+    @functools.wraps(main_fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return main_fn(*args, **kwargs)
+        except ModsetOverflowError as e:
+            die("%s", str(e))
+    return wrapped
 
 
 class Args:

@@ -6,7 +6,7 @@ import numpy as np
 
 from ..io import seqio
 from ..utils.timers import Timer
-from .common import die
+from .common import cli_guard, die
 
 LENGTH_BINS = 20
 
@@ -22,6 +22,7 @@ def usage():
     e("    -l : show length distribution in up to %d quadratic bins\n" % LENGTH_BINS)
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     want_bases = want_quals = is_time = want_lengths = False

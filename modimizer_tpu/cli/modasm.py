@@ -13,7 +13,7 @@ import numpy as np
 from ..core.modset import Modset
 from ..core.readset import Readset
 from ..utils.timers import Timer
-from .common import Args, OutFile, die, finish
+from .common import cli_guard, Args, OutFile, die, finish
 
 TOPBIT = 0x80000000
 
@@ -99,6 +99,7 @@ def ref_flag(rs: Readset, filename, out):
     native_lib().rs_ref_flag(ctypes.byref(v), idx, pos, len(idx))
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     out = OutFile()

@@ -16,7 +16,7 @@ from ..core.seqhash import Seqhash
 from ..io import seqio
 from ..ops.seqhash import ModimizerScanner
 from ..utils.timers import Timer
-from .common import Args, OutFile, die
+from .common import cli_guard, Args, OutFile, die
 
 
 def usage(params, num_threads):
@@ -116,6 +116,7 @@ def query_process(ref: Reference, filename, out, is_verbose):
             spool.close()
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     out = OutFile()

@@ -21,7 +21,7 @@ import numpy as np
 from ..core.modset import Modset
 from ..ops.seqhash import ModimizerScanner
 from ..utils.timers import Timer
-from .common import Args, OutFile, die
+from .common import cli_guard, Args, OutFile, die
 
 BOUNDARY = [1, 961, 1951, 2961]  # modrep.c:493-496
 
@@ -466,6 +466,7 @@ def analyze2(seq_file, mod_file, ref: Ref, out_write):
     out_write("n1 %d n2 %d n3 %d n4 %d\n" % tuple(counts))
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:

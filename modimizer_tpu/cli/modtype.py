@@ -12,7 +12,7 @@ from ..io import seqio
 from ..io.carray import CDict
 from ..io.onecode import OneFile, OneSchema
 from ..utils.timers import Timer
-from .common import Args, OutFile, die, finish
+from .common import cli_guard, Args, OutFile, die, finish
 
 # embedded schema, verbatim (modtype.c:40-60)
 SCHEMA_TEXT = (
@@ -131,6 +131,7 @@ def samples_read(filename, schema):
     return samples
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     out = OutFile()

@@ -15,7 +15,7 @@ from ..core.seqhash import Seqhash
 from ..io import seqio
 from ..ops.seqhash import ModimizerScanner
 from ..utils.timers import Timer
-from .common import Args, OutFile, die, finish
+from .common import cli_guard, Args, OutFile, die, finish
 
 
 def usage():
@@ -174,6 +174,7 @@ def report_depths(ms: Modset, others, f):
         f.write("\n")
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:

@@ -6,7 +6,7 @@ import numpy as np
 
 from ..io import seqio
 from ..utils.timers import Timer
-from .common import die
+from .common import cli_guard, die
 
 
 def usage():
@@ -22,6 +22,7 @@ def usage():
     e("   if no -o option then use stdout and -z implies gzip\n")
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     timer = Timer()

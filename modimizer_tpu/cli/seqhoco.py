@@ -17,9 +17,10 @@ import sys
 import numpy as np
 
 from ..io import seqio
-from .common import die
+from .common import cli_guard, die
 
 
+@cli_guard
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     fn = argv[0] if argv else "-"

@@ -19,7 +19,7 @@ import numpy as np
 
 from .seqhash import Seqhash
 from ..native import lib as native_lib
-from ..utils.errors import die
+from ..utils.errors import ModsetOverflowError
 from ..utils import alloc
 from ..io.fzio import GzWriter, read_maybe_gz
 
@@ -87,10 +87,12 @@ class Modset:
             self.max, self.size, kmers, counts_ptr, len(kmers),
             out_idx.ctypes.data if return_indices else None)
         if new_max < 0:
-            # reference dies from inside the insert (modset.c:58) with
-            # max == size at first overflow — identical message + exit
-            die("hashTableSize %u is too small for %u",
-                self.size, self.size)
+            # the reference dies from inside the insert (modset.c:58)
+            # with max == size at first overflow; the library raises and
+            # the CLI layer (cli_guard) dies with the identical message
+            raise ModsetOverflowError(
+                "hashTableSize %u is too small for %u"
+                % (self.size, self.size))
         self.max = int(new_max)
         return out_idx if return_indices else None
 
@@ -164,8 +166,9 @@ class Modset:
                 np.ascontiguousarray(other.depth[1:n + 1], np.uint16),
                 np.ascontiguousarray(other.info[1:n + 1], np.uint8), n)
             if new_max < 0:
-                die("hashTableSize %u is too small for %u",
-                    self.size, self.size)  # modset.c:58 via modsetMerge
+                raise ModsetOverflowError(       # modset.c:58, via merge
+                    "hashTableSize %u is too small for %u"
+                    % (self.size, self.size))
             self.max = int(new_max)
         return True
 

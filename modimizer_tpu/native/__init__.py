@@ -192,3 +192,28 @@ def u16_hist(arr, nbins: int) -> np.ndarray:
     out = np.zeros(nbins, np.uint64)
     lib().io_u16_hist(a, len(a), out, nbins)
     return out
+
+
+def build_cli(force=False):
+    """Build the C++ modutils fast path at bin/modutils-native (the ONE
+    build recipe — bench_all, tests, and `make native-cli` all route
+    here).  Returns the binary path, or None when the toolchain is
+    missing/failing (callers fall back to the Python CLI)."""
+    import os
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    out = os.path.join(repo, "bin", "modutils-native")
+    src = os.path.join(repo, "modimizer_tpu", "native", "modutils_cli.cpp")
+    dep = os.path.join(repo, "modimizer_tpu", "native", "modset_native.cpp")
+    if (not force and os.path.exists(out)
+            and os.path.getmtime(out) >= os.path.getmtime(src)
+            and os.path.getmtime(out) >= os.path.getmtime(dep)):
+        return out
+    try:
+        r = subprocess.run(["g++", "-O2", "-march=native", "-o", out,
+                            src, dep, "-lz", "-l:libdeflate.a"],
+                           capture_output=True)
+    except FileNotFoundError:
+        return None        # no g++ on this host
+    return out if r.returncode == 0 else None

@@ -65,13 +65,15 @@ static void delegate(void) {
   std::string dir = slash == std::string::npos ? "." : self.substr(0, slash);
   std::string script = dir + "/modutils";
   std::vector<char *> av;
-  static std::string py = "python3";
+  const char *pyenv = getenv("MODIMIZER_PYTHON");
+  static std::string py;
+  py = pyenv && *pyenv ? pyenv : "python3";
   av.push_back(&py[0]);
   static std::string sc = script;
   av.push_back(&sc[0]);
   for (int i = 1; g_argv[i]; ++i) av.push_back(g_argv[i]);
   av.push_back(nullptr);
-  execvp("python3", av.data());
+  execvp(py.c_str(), av.data());
   fprintf(stderr, "FATAL ERROR: cannot exec python fallback for %s\n",
           script.c_str());
   exit(255);
@@ -221,6 +223,22 @@ struct GzOut {
   }
 };
 
+// files created by the -w openability probes that nothing has written
+// yet: a mid-execution die() (merge table overflow) must remove them so
+// filesystem side effects match the Python CLI's aborted run
+static std::vector<std::string> g_probe_created;
+
+static void cleanup_probe_files(void) {
+  for (const auto &p : g_probe_created) {
+    FILE *f = fopen(p.c_str(), "rb");
+    if (!f) continue;
+    fseek(f, 0, SEEK_END);
+    long sz = ftell(f);
+    fclose(f);
+    if (sz == 0) unlink(p.c_str());  // still empty: ours, not yet written
+  }
+}
+
 // ---------------------------------------------------------------- modset
 
 #pragma pack(push, 1)
@@ -271,8 +289,9 @@ struct Modset {
     off += 80;
     bits = (int)b32;
     if (bits < 20 || bits > 34) return false;
+    if (s32 == 0) return false;  // no valid writer emits 0; delegate
     table_size = (U64)1 << bits;
-    size = s32 ? (int64_t)s32 : (int64_t)(table_size >> 2) - 1;
+    size = (int64_t)s32;
     max = size - 1;
     size_t need = off + 4 * table_size + 11 * (size_t)size;
     if (raw.size() < need) return false;
@@ -379,16 +398,22 @@ struct Modset {
     if (new_size >= (int64_t)(table_size >> 2))
       new_size = (int64_t)(table_size >> 2) - 1;
     // regrow the side arrays into owned storage and repoint (the table
-    // stays the in-place view — merge mutates it in place)
+    // stays the in-place view — merge mutates it in place).  Fresh
+    // vectors FIRST, move-assign after: on a second -m the value/depth/
+    // info pointers alias value_v/..., and assigning into the aliased
+    // vector would zero or free the source before the copy reads it
     int64_t keep = new_size < size ? new_size : size;
-    value_v.assign(new_size, 0);
-    memcpy(value_v.data(), value, 8 * (size_t)keep);
+    std::vector<U64> nv((size_t)new_size, 0);
+    memcpy(nv.data(), value, 8 * (size_t)keep);
+    value_v = std::move(nv);
     value = value_v.data();
-    depth_v.assign(new_size, 0);
-    memcpy(depth_v.data(), depth, 2 * (size_t)keep);
+    std::vector<U16> nd((size_t)new_size, 0);
+    memcpy(nd.data(), depth, 2 * (size_t)keep);
+    depth_v = std::move(nd);
     depth = depth_v.data();
-    info_v.assign(new_size, 0);
-    memcpy(info_v.data(), info, (size_t)keep);
+    std::vector<U8> ni((size_t)new_size, 0);
+    memcpy(ni.data(), info, (size_t)keep);
+    info_v = std::move(ni);
     info = info_v.data();
     size = new_size;
     g_alloc += 11 * (long long)new_size;
@@ -402,6 +427,7 @@ struct Modset {
         fprintf(stderr,
                 "FATAL ERROR: hashTableSize %lld is too small for %lld\n",
                 (long long)size, (long long)size);
+        cleanup_probe_files();
         exit(255);
       }
       max = nm;
@@ -528,10 +554,14 @@ int main(int argc, char **argv) {
     if (!strcmp(a, "-w") || !strcmp(a, "--write")) {
       // openability probe WITHOUT truncation (O_CREAT matches the side
       // effect the Python run would eventually make on this chain; on
-      // failure the Python CLI reproduces its uncaught-OSError behavior)
+      // failure the Python CLI reproduces its uncaught-OSError behavior).
+      // Newly-created probe files are tracked so a mid-execution die()
+      // can remove them (the Python run would never have created them).
+      bool existed = access(argv[i + 1], F_OK) == 0;
       FILE *t = fopen(argv[i + 1], "ab");
       if (!t) delegate();
       fclose(t);
+      if (!existed) g_probe_created.push_back(argv[i + 1]);
       i += 2;
     } else {
       step_over(a, i);

@@ -15,3 +15,10 @@ def warn(fmt, *args):
     # NB reference warn() also exits (utils.c:32-43)
     sys.stderr.write("WARNING: " + (fmt % args if args else fmt) + "\n")
     sys.exit(255)
+
+
+class ModsetOverflowError(RuntimeError):
+    """Probe-table overflow (modset.c:58).  The library RAISES so
+    embedders (long-running builders) can checkpoint/retry; the CLI layer
+    converts it to the reference's die() — exact message, exit -1 —
+    via cli.common.cli_guard."""

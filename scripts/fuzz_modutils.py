@@ -109,7 +109,8 @@ for i in range(40):
     os.makedirs(dc); os.makedirs(dp)
     rc = subprocess.run([MU] + args, capture_output=True, cwd=dc, timeout=120)
     rp = subprocess.run(PY + args, capture_output=True, cwd=dp, timeout=300,
-                        env={**os.environ, "MODIMIZER_SCAN": "host"})
+                        env={**os.environ, "MODIMIZER_SCAN": "host",
+                             "MODIMIZER_PYTHON": sys.executable})
     ok = (rc.returncode == rp.returncode and flt(rc.stdout) == flt(rp.stdout)
           and flt(rc.stderr) == flt(rp.stderr))
     if ok:

@@ -1,4 +1,10 @@
-"""Probe: where does the scan front's time go, and can the MXU absorb the
+"""SUPERSEDED MEASUREMENT METHODOLOGY — this probe times repeated
+identical dispatches with block_until_ready, which the axon tunnel
+pipelines/memoizes (and block does not truly sync): its ms numbers are
+NOT trustworthy.  Kept for the kernel-correctness checks only; use
+scripts/probe_chain_time.py (chained slope, salted calls) for timing.
+
+Probe: where does the scan front's time go, and can the MXU absorb the
 hash multiplies?
 
 All variants WRITE the (kmer, emit) planes — count-only kernels measured

@@ -1,4 +1,10 @@
-"""Decomposition probe for the Pallas mul16 front: where do its ~3.1 ms go?
+"""SUPERSEDED MEASUREMENT METHODOLOGY — this probe times repeated
+identical dispatches with block_until_ready, which the axon tunnel
+pipelines/memoizes (and block does not truly sync): its ms numbers are
+NOT trustworthy.  Kept for the kernel-correctness checks only; use
+scripts/probe_chain_time.py (chained slope, salted calls) for timing.
+
+Decomposition probe for the Pallas mul16 front: where do its ~3.1 ms go?
 
 probe_front_mxu measured the full plane-writing front at 3.14 ms/2^24 with
 a multiply bill of only 0.06 ms (mul16 - nohash) — yet the intrinsic cost

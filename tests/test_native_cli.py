@@ -21,15 +21,10 @@ NATIVE = REPO / "bin" / "modutils-native"
 
 
 def _build():
-    src = REPO / "modimizer_tpu" / "native" / "modutils_cli.cpp"
-    dep = REPO / "modimizer_tpu" / "native" / "modset_native.cpp"
-    if NATIVE.exists() and NATIVE.stat().st_mtime >= max(
-            src.stat().st_mtime, dep.stat().st_mtime):
-        return True
-    r = subprocess.run(["g++", "-O2", "-march=native", "-o", str(NATIVE),
-                        str(src), str(dep), "-lz", "-l:libdeflate.a"],
-                       capture_output=True)
-    return r.returncode == 0
+    import sys as _sys
+    _sys.path.insert(0, str(REPO))
+    from modimizer_tpu.native import build_cli
+    return build_cli() is not None
 
 
 pytestmark = pytest.mark.skipif(not _build(), reason="native CLI build failed")
@@ -40,6 +35,7 @@ def _env():
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["MODIMIZER_SCAN"] = "host"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["MODIMIZER_PYTHON"] = sys.executable   # delegation interpreter
     return env
 
 
@@ -92,6 +88,12 @@ CASES = [
     ["-r", "A.mod", "-m", "B_plain.mod", "-w", "o.mod"],
     ["-r", "A.mod", "-m", "B.mod", "-sM", "9", "-w", "o.mod"],
     ["-v", "-r", "A.mod", "-p", "2", "0", "-w", "o.mod"],
+    # double merge: value/depth/info alias value_v/... after the first -m;
+    # the regrow must not zero/free the source it copies from (round-5
+    # review finding — corrupted silently before the fresh-vector fix)
+    ["-r", "A.mod", "-m", "B_plain.mod", "-m", "B.mod", "-w", "o.mod"],
+    ["-r", "A.mod", "-m", "B.mod", "-m", "B.mod", "-m", "B_plain.mod",
+     "-s", "4", "18", "40", "-w", "o.mod"],
 ]
 
 
