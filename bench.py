@@ -262,6 +262,14 @@ def _tpu_rate_impl(fa, c_entries):
             f"TPU build diverged from C: {ms.max} unique vs {c_entries}")
     if c_entries:
         log(f"cross-check vs C: {ms.max} == {c_entries} entries OK")
+    # the device e2e above is wire-bound through the dev tunnel
+    # (~45 MB/s; ~100 MB of transfers is a ~2.2 s floor).  Also log the
+    # AUTO-POLICY e2e — the pipeline `modutils -a` actually picks on this
+    # host (the AVX-512 native scan), i.e. what a user measures:
+    try:
+        host_rate(fa)
+    except Exception as e:        # log-only: never fail the bench on it
+        log(f"(host-path e2e measurement skipped: {e})")
 
     # ---- chip rate: dependency-chained steps on resident data ----
     # (block_until_ready does not actually synchronize under the axon
@@ -328,7 +336,8 @@ def host_rate(fa: Path) -> float:
     sc.scan_kmers(batch.codes, batch.offsets, consumer=ms.add_batch)
     dt = time.perf_counter() - t0
     positions = len(batch.codes) - (K - 1) * batch.n
-    log(f"host fallback: {positions/dt/1e6:.1f} Mkmers/s (scan+table)")
+    log(f"host-path e2e (the auto-policy route on this host): "
+        f"{positions/dt/1e6:.1f} Mkmers/s (scan+table)")
     return positions / dt
 
 
