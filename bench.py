@@ -265,9 +265,21 @@ def _tpu_rate_impl(fa, c_entries):
     # the device e2e above is wire-bound through the dev tunnel
     # (~45 MB/s; ~100 MB of transfers is a ~2.2 s floor).  Also log the
     # AUTO-POLICY e2e — the pipeline `modutils -a` actually picks on this
-    # host (the AVX-512 native scan), i.e. what a user measures:
+    # host (the AVX-512 native scan), i.e. what a user measures.  In a
+    # clean subprocess: inside this jax-loaded process the same code
+    # measures ~2x slower (heap/page-cache state).
     try:
-        host_rate(fa)
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); import bench; "
+             "bench.host_rate(bench.make_data())"
+             % os.path.dirname(os.path.abspath(__file__))],
+            capture_output=True, text=True, timeout=300,
+            env={k: v for k, v in os.environ.items()
+                 if k != "PALLAS_AXON_POOL_IPS"})
+        for ln in r.stderr.splitlines():
+            if "host-path e2e" in ln:
+                log(ln)
     except Exception as e:        # log-only: never fail the bench on it
         log(f"(host-path e2e measurement skipped: {e})")
 
