@@ -262,26 +262,6 @@ def _tpu_rate_impl(fa, c_entries):
             f"TPU build diverged from C: {ms.max} unique vs {c_entries}")
     if c_entries:
         log(f"cross-check vs C: {ms.max} == {c_entries} entries OK")
-    # the device e2e above is wire-bound through the dev tunnel
-    # (~45 MB/s; ~100 MB of transfers is a ~2.2 s floor).  Also log the
-    # AUTO-POLICY e2e — the pipeline `modutils -a` actually picks on this
-    # host (the AVX-512 native scan), i.e. what a user measures.  In a
-    # clean subprocess: inside this jax-loaded process the same code
-    # measures ~2x slower (heap/page-cache state).
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import sys; sys.path.insert(0, %r); import bench; "
-             "bench.host_rate(bench.make_data())"
-             % os.path.dirname(os.path.abspath(__file__))],
-            capture_output=True, text=True, timeout=300,
-            env={k: v for k, v in os.environ.items()
-                 if k != "PALLAS_AXON_POOL_IPS"})
-        for ln in r.stderr.splitlines():
-            if "host-path e2e" in ln:
-                log(ln)
-    except Exception as e:        # log-only: never fail the bench on it
-        log(f"(host-path e2e measurement skipped: {e})")
 
     # ---- chip rate: dependency-chained steps on resident data ----
     # (block_until_ready does not actually synchronize under the axon
@@ -356,6 +336,15 @@ def host_rate(fa: Path) -> float:
 def main():
     fa = make_data()
     base, c_entries = c_baseline(fa)
+    if "--tpu-child" not in sys.argv:
+        # auto-policy (host-path) e2e for context, measured while the
+        # process is still clean (no jax/TPU state — in a jax-loaded
+        # process or next to the tunnel child the same code reads
+        # 2-3x lower on this 1-core VM)
+        try:
+            host_rate(fa)
+        except Exception as e:    # log-only
+            log(f"(host-path e2e skipped: {e})")
     if "--tpu-child" in sys.argv:
         ours = tpu_rate(fa, c_entries)
         print(json.dumps({"metric": "modset_build_kmer_throughput",
