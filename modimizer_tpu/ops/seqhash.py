@@ -22,15 +22,20 @@ the reference iterator's emission order.
 """
 
 import functools
+import os as _os
 
 import numpy as np
 
 from ..core.seqhash import Seqhash
 from ..utils import profiling
 
-DEFAULT_CHUNK = 1 << 25  # 32 Mbase per device dispatch
+# 32 Mbase per device dispatch.  Right for a slow link (the dev tunnel:
+# fewer dispatches win; the pipeline is wire-bound anyway).  On a real
+# TPU host with DMA-class transfers, 2^22-2^23 chunks run the compact
+# step ~1.5-4x faster per position (the on-chip fit cliff, docs/PERF.md
+# round-5 chunk tables) — tune with MODIMIZER_CHUNK there.
+DEFAULT_CHUNK = int(_os.environ.get("MODIMIZER_CHUNK", str(1 << 25)))
 BLOCK = 4096             # positions per compaction block
-import os as _os
 BLK_COMPACT = int(_os.environ.get("MODIMIZER_BLK", "512"))
                          # parallel.sharded.BLK (mirrored here so host-only
                          # CLI paths never import jax just to size buffers)
