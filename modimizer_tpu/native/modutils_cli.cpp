@@ -522,7 +522,6 @@ int main(int argc, char **argv) {
   // (O_CREAT, no truncate), which must not happen on a chain the Python
   // CLI would abort before reaching that -w.
   std::vector<Modset> loaded;
-  std::vector<int> load_at;  // argv index of each -r/-m
   auto step_over = [&](const char *a, int &i) {
     if (!strcmp(a, "-v") || !strcmp(a, "--verbose"))
       i += 1;
@@ -543,7 +542,6 @@ int main(int argc, char **argv) {
       if (!read_file(argv[i + 1], raw)) delegate();
       loaded.emplace_back();
       if (!loaded.back().parse(std::move(raw))) delegate();
-      load_at.push_back(i);
       i += 2;
     } else {
       step_over(a, i);
